@@ -1,0 +1,18 @@
+"""dfc_sa_unet_tpu — a TPU-native JAX/Flax/Pallas segmentation framework.
+
+A from-scratch rebuild of the capabilities of the DFC-SA-UNet reference
+(PyTorch, single-GPU) as an idiomatic TPU stack:
+
+  * NHWC tensors end-to-end (TPU-native conv layout).
+  * Functional jitted train/eval steps; optax optimizer; Orbax checkpoints.
+  * Exact-parity numerics vs the PyTorch reference (adaptive pooling,
+    bilinear interpolation, BatchNorm semantics) so converted checkpoints
+    reproduce Dice/IoU to <=1e-3.
+  * One mesh-parameterized data-parallel path (jax.sharding) that is a
+    no-op on one chip and rides ICI on a pod slice.
+  * A Pallas fused pooled-attention kernel for the DFC-SA hot path.
+
+Reference layer map: see SURVEY.md at the repo root.
+"""
+
+__version__ = "0.1.0"

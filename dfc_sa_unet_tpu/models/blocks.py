@@ -1,0 +1,256 @@
+"""Building blocks shared by the DFC-SA model families.
+
+The reference implements six block variants across four files with heavy
+copy-paste (models/unet_dfc_sa_res.py:41-116 and the ablation files); here
+each variant is a small Flax module over shared primitives, and the whole
+U-Net wiring lives once in ``unet_forward`` (the reference re-rolls it
+five times).
+
+Naming discipline: submodule names mirror the reference's state_dict keys
+with Sequential indices folded in (``conv_branch.0`` -> ``conv_branch_0``)
+so the generic torch checkpoint converter works unchanged.
+"""
+
+from typing import Any, Callable, Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dfc_sa_unet_tpu.nn.layers import BatchNorm, Conv, ConvTranspose2x2
+from dfc_sa_unet_tpu.ops.pooling import adaptive_avg_pool, max_pool
+from dfc_sa_unet_tpu.ops.resize import resize_bilinear
+from dfc_sa_unet_tpu.ops.attention import pooled_self_attention
+
+Dtype = Any
+
+
+class LightSelfAttention(nn.Module):
+    """Pooled global self-attention (reference models/unet_dfc_sa_res.py:5-39).
+
+    pool_size=None gives the full-resolution ablation variant (reference
+    models/unet_dfc_sa_ablation_attention.py:7-26) — same math, no pooling
+    and no upsample.
+
+    avg-pool to (p,p) -> 1x1 Q/K at C//qk_div, V at C -> softmax(QK^T) @ V
+    (unscaled, matching the reference) -> bilinear upsample -> gamma*out + x.
+    """
+
+    pool_size: Optional[int] = 8
+    qk_div: int = 8
+    use_pallas: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        pooled = x if self.pool_size is None else adaptive_avg_pool(x, (self.pool_size, self.pool_size))
+        q = Conv(c // self.qk_div, 1, name="query_conv", dtype=self.dtype)(pooled)
+        k = Conv(c // self.qk_div, 1, name="key_conv", dtype=self.dtype)(pooled)
+        v = Conv(c, 1, name="value_conv", dtype=self.dtype)(pooled)
+        gamma = self.param("gamma", nn.initializers.zeros, (1,), jnp.float32)
+        if self.use_pallas and self.pool_size is not None:
+            from dfc_sa_unet_tpu.ops.pallas_attention import fused_pooled_attention
+
+            out = fused_pooled_attention(q, k, v)
+        else:
+            out = pooled_self_attention(q, k, v)
+        if self.pool_size is not None:
+            out = resize_bilinear(out, (h, w), align_corners=False)
+        y = gamma * out.astype(jnp.float32) + x.astype(jnp.float32)
+        return y.astype(x.dtype)
+
+
+def _conv_bn_relu(mdl_prefix: str, features: int, kernel: int, dtype):
+    """conv(k)+BN+ReLU triple named `<prefix>_0`/`<prefix>_1` like the
+    reference's nn.Sequential indices."""
+
+    def apply(x, train):
+        pad = kernel // 2
+        y = Conv(features, kernel, padding=pad, name=f"{mdl_prefix}_0", dtype=dtype)(x)
+        y = BatchNorm(name=f"{mdl_prefix}_1")(y, train)
+        return nn.relu(y)
+
+    return apply
+
+
+class _ResidualMixin:
+    """Shared scaled-residual tail: out + res_scale * proj(x).
+
+    Matches reference models/unet_dfc_sa_res.py:87-93,113-114 — a 1x1
+    bias-free projection when channel counts differ, Identity otherwise,
+    scaled by a learned scalar initialized to 0.1.
+    """
+
+    def _residual(self, x, out_channels, dtype):
+        if x.shape[-1] != out_channels:
+            res = Conv(out_channels, 1, use_bias=False, name="residual_conv", dtype=dtype)(x)
+        else:
+            res = x
+        res_scale = self.param("res_scale", lambda *_: jnp.asarray(0.1, jnp.float32), ())
+        return res, res_scale
+
+
+class DFCBlock(nn.Module, _ResidualMixin):
+    """DynamicFusionConvAttnBlock (reference models/unet_dfc_sa_res.py:41-116).
+
+    local  = Conv3x3+BN+ReLU
+    attn   = Conv1x1+BN+ReLU -> LightSelfAttention
+    g      = sigmoid(BN(Conv1x1(cat(local, attn))))
+    fused  = g*local + (1-g)*attn
+    out    = Conv1x1+BN+ReLU(cat(fused, local, attn)) + res_scale*proj(x)
+
+    full_res=True swaps in the full-resolution attention (ablation 3,
+    reference models/unet_dfc_sa_ablation_attention.py:29-92).
+    """
+
+    features: int
+    pool_size: int = 8
+    qk_div: int = 8
+    full_res: bool = False
+    use_pallas: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        f = self.features
+        local = _conv_bn_relu("conv_branch", f, 3, self.dtype)(x, train)
+        a = _conv_bn_relu("attn_branch", f, 1, self.dtype)(x, train)
+        a = LightSelfAttention(
+            pool_size=None if self.full_res else self.pool_size,
+            qk_div=self.qk_div,
+            use_pallas=self.use_pallas,
+            name="attn_branch_3",
+            dtype=self.dtype,
+        )(a)
+        combined = jnp.concatenate([local, a], axis=-1)
+        g = Conv(f, 1, name="gate_0", dtype=self.dtype)(combined)
+        g = BatchNorm(name="gate_1")(g, train)
+        g = nn.sigmoid(g)
+        fused = g * local + (1.0 - g) * a
+        out = jnp.concatenate([fused, local, a], axis=-1)
+        out = _conv_bn_relu("fusion_conv", f, 1, self.dtype)(out, train)
+        res, res_scale = self._residual(x, f, self.dtype)
+        return (out.astype(jnp.float32) + res_scale * res.astype(jnp.float32)).astype(out.dtype)
+
+
+class LocalOnlyBlock(nn.Module, _ResidualMixin):
+    """Conv branch only + scaled residual (reference
+    models/unet_dfc_sa_ablation_branches.py:73-101)."""
+
+    features: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        local = _conv_bn_relu("conv_branch", self.features, 3, self.dtype)(x, train)
+        res, res_scale = self._residual(x, self.features, self.dtype)
+        return (local.astype(jnp.float32) + res_scale * res.astype(jnp.float32)).astype(local.dtype)
+
+
+class AttentionOnlyBlock(nn.Module, _ResidualMixin):
+    """Attention branch only + scaled residual (reference
+    models/unet_dfc_sa_ablation_branches.py:42-70). QK reduction fixed at
+    C//8 like the ablation file's LightSelfAttention."""
+
+    features: int
+    pool_size: int = 8
+    use_pallas: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        a = _conv_bn_relu("attn_branch", self.features, 1, self.dtype)(x, train)
+        a = LightSelfAttention(
+            pool_size=self.pool_size, qk_div=8, use_pallas=self.use_pallas,
+            name="attn_branch_3", dtype=self.dtype,
+        )(a)
+        res, res_scale = self._residual(x, self.features, self.dtype)
+        return (a.astype(jnp.float32) + res_scale * res.astype(jnp.float32)).astype(a.dtype)
+
+
+class AdditionFusionBlock(nn.Module, _ResidualMixin):
+    """local + attn addition fusion (reference
+    models/unet_dfc_sa_ablation_fusion.py:7-48)."""
+
+    features: int
+    pool_size: int = 8
+    use_pallas: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        f = self.features
+        local = _conv_bn_relu("conv_branch", f, 3, self.dtype)(x, train)
+        a = _conv_bn_relu("attn_branch", f, 1, self.dtype)(x, train)
+        a = LightSelfAttention(
+            pool_size=self.pool_size, qk_div=8, use_pallas=self.use_pallas,
+            name="attn_branch_3", dtype=self.dtype,
+        )(a)
+        fused = local + a
+        res, res_scale = self._residual(x, f, self.dtype)
+        return (fused.astype(jnp.float32) + res_scale * res.astype(jnp.float32)).astype(fused.dtype)
+
+
+class ConcatFusionBlock(nn.Module, _ResidualMixin):
+    """concat + 1x1 conv fusion (reference
+    models/unet_dfc_sa_ablation_fusion.py:51-100)."""
+
+    features: int
+    pool_size: int = 8
+    use_pallas: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        f = self.features
+        local = _conv_bn_relu("conv_branch", f, 3, self.dtype)(x, train)
+        a = _conv_bn_relu("attn_branch", f, 1, self.dtype)(x, train)
+        a = LightSelfAttention(
+            pool_size=self.pool_size, qk_div=8, use_pallas=self.use_pallas,
+            name="attn_branch_3", dtype=self.dtype,
+        )(a)
+        fused = jnp.concatenate([local, a], axis=-1)
+        fused = _conv_bn_relu("fusion_conv", f, 1, self.dtype)(fused, train)
+        res, res_scale = self._residual(x, f, self.dtype)
+        return (fused.astype(jnp.float32) + res_scale * res.astype(jnp.float32)).astype(fused.dtype)
+
+
+BlockFactory = Callable[..., nn.Module]
+
+
+def unet_forward(
+    x,
+    train: bool,
+    features: Sequence[int],
+    out_channels: int,
+    enc_factory: BlockFactory,
+    dec_factory: BlockFactory,
+    dtype=None,
+):
+    """Shared 4-level U-Net wiring used by UNetDFCSA and every ablation.
+
+    Mirrors reference models/unet_dfc_sa_res.py:161-204 /
+    unet_dfc_sa_ablation_branches.py:129-164: encoder blocks + MaxPool(2),
+    bottleneck at features[3]*2, ConvTranspose(2,2) decoder with bilinear
+    shape-fix and skip concat, final 1x1 conv.  Must be called inside a
+    parent module's compact ``__call__`` (submodules attach to the caller).
+    """
+    f = list(features)
+    skips = []
+    h = x
+    for i in range(4):
+        h = enc_factory(f[i], name=f"down{i + 1}")(h, train)
+        skips.append(h)
+        h = max_pool(h, 2, 2)
+
+    h = enc_factory(f[3] * 2, name="bottleneck")(h, train)
+
+    for i in range(4, 0, -1):
+        skip = skips[i - 1]
+        h = ConvTranspose2x2(f[i - 1], name=f"up{i}", dtype=dtype)(h)
+        if h.shape[1:3] != skip.shape[1:3]:
+            h = resize_bilinear(h, skip.shape[1:3], align_corners=False)
+        h = jnp.concatenate([h, skip], axis=-1)
+        h = dec_factory(f[i - 1], name=f"up_conv{i}")(h, train)
+
+    return Conv(out_channels, 1, name="final_conv", dtype=dtype)(h)

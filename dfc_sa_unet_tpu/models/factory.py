@@ -1,0 +1,129 @@
+"""ModelFactory — config-dict dispatch over the 12 model names.
+
+Mirrors reference models/model_factory.py:74-186 (same names, same config
+keys, same defaults) with two fixes the reference needs:
+  * the package imports cleanly (reference models/__init__.py imports a
+    module whose source is missing),
+  * pretrained weights may be either a Flax/Orbax checkpoint or a torch
+    ``.pth`` (converted on load).
+"""
+
+import math
+from typing import Any, Mapping, Optional
+
+from flax import linen as nn
+
+
+def _model_cfg(config: Mapping[str, Any]) -> Mapping[str, Any]:
+    return config.get("model", config)
+
+
+def create_model(config: Mapping[str, Any], dtype: Optional[Any] = None, use_pallas: bool = False) -> nn.Module:
+    """Instantiate the Flax module named by ``config['model']['name']``."""
+    m = _model_cfg(config)
+    name = m["name"]
+    in_channels = m.get("in_channels", 3)
+    out_channels = m.get("out_channels", 1)
+    features = tuple(m.get("features", [64, 128, 256, 512]))
+    pool_size = m.get("pool_size", 8)
+    qk_div = m.get("ablation_on_qk_channels", 8)
+
+    if name == "UNet":
+        from dfc_sa_unet_tpu.models.unet import UNet
+
+        return UNet(
+            in_channels=in_channels,
+            out_channels=out_channels,
+            bilinear=m.get("bilinear", False),
+            dtype=dtype,
+        )
+
+    if name == "DFC-SA-Res-Block":
+        from dfc_sa_unet_tpu.models.dfc_sa import UNetDFCSARes
+
+        return UNetDFCSARes(
+            in_channels=in_channels,
+            out_channels=out_channels,
+            features=features,
+            pool_size=pool_size,
+            qk_div=qk_div,
+            use_pallas=use_pallas,
+            dtype=dtype,
+        )
+
+    if name in ("TransformerUNet", "TransUNet"):
+        from dfc_sa_unet_tpu.models.transunet import TransUNet, get_r50_b16_config
+
+        img_size_cfg = config.get("dataset", {}).get("img_size", [224, 224])
+        img_size = img_size_cfg[0] if isinstance(img_size_cfg, (list, tuple)) else img_size_cfg
+        vit_config = get_r50_b16_config()
+        vit_config["n_classes"] = out_channels
+        vit_config["patches_grid"] = (img_size // 16, img_size // 16)
+        return TransUNet(config=vit_config, img_size=img_size, num_classes=out_channels, dtype=dtype)
+
+    if name == "VisionTransformerSegmentation":
+        from dfc_sa_unet_tpu.models.vit_seg import VisionTransformerForSegmentation
+
+        patch_dim = m.get("patch_dim", 16)
+        default_layers = (
+            int(math.log2(patch_dim)) if patch_dim > 0 and (patch_dim & (patch_dim - 1) == 0) else 4
+        )
+        return VisionTransformerForSegmentation(
+            img_dim=m.get("img_dim", 224),
+            patch_dim=patch_dim,
+            in_channels=in_channels,
+            num_classes=out_channels,
+            embed_dim=m.get("embed_dim", 768),
+            num_layers=m.get("num_layers", 12),
+            num_heads=m.get("num_heads", 12),
+            mlp_dim=m.get("mlp_dim", 3072),
+            dropout=m.get("dropout", 0.1),
+            upsample_layers=m.get("segmentation_head_upsample_layers", default_layers),
+            dtype=dtype,
+        )
+
+    from dfc_sa_unet_tpu.models import ablations as ab
+
+    ablation_map = {
+        "UNet_Baseline": ab.UNetBaseline,
+        "UNet_AttentionOnly": ab.UNetAttentionOnly,
+        "UNet_AdditionFusion": ab.UNetAdditionFusion,
+        "UNet_ConcatFusion": ab.UNetConcatFusion,
+        "UNet_FullResAttention": ab.UNetFullResAttention,
+        "UNet_EncoderOnlyDFC": ab.UNetEncoderOnlyDFC,
+        "UNet_DecoderOnlyDFC": ab.UNetDecoderOnlyDFC,
+        "UNet_BothStandardConv": ab.UNetBothStandardConv,
+    }
+    if name in ablation_map:
+        return ablation_map[name](
+            in_channels=in_channels,
+            out_channels=out_channels,
+            features=features,
+            pool_size=pool_size,
+            use_pallas=use_pallas,
+            dtype=dtype,
+        )
+
+    raise ValueError(f"unsupported model name: {name!r}")
+
+
+class ModelFactory:
+    """API-compatible facade over ``create_model``.
+
+    Usage (both reference styles, models/model_factory.py:14-72):
+      * ``ModelFactory.get_model(config)``
+      * ``ModelFactory(config).create_model()``
+    """
+
+    def __init__(self, config: Optional[Mapping[str, Any]] = None):
+        self.config = config
+
+    def create_model(self, config=None, dtype=None, use_pallas=False):
+        cfg = config or self.config
+        if cfg is None:
+            raise ValueError("a config must be provided")
+        return create_model(cfg, dtype=dtype, use_pallas=use_pallas)
+
+    @staticmethod
+    def get_model(config, dtype=None, use_pallas=False):
+        return create_model(config, dtype=dtype, use_pallas=use_pallas)

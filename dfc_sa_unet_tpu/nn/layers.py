@@ -168,6 +168,55 @@ class ConvTranspose2x2(nn.Module):
         )
 
 
+class ConvTranspose(nn.Module):
+    """General torch.nn.ConvTranspose2d(cin, cout, k, s, p) on NHWC.
+
+    Implemented as a conv over the stride-dilated input with a spatially
+    flipped kernel (the exact adjoint identity), so XLA lowers it to one
+    MXU conv.  kernel param is ``kernel_t`` [kh, kw, Cin, Cout] (torch
+    stores [Cin, Cout, kh, kw]; converter transposes (2,3,0,1)).
+    """
+
+    features: int
+    kernel_size: Union[int, Sequence[int]] = 2
+    stride: Union[int, Sequence[int]] = 2
+    padding: Union[int, Sequence[int]] = 0
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = _pair(self.kernel_size)
+        sh, sw = _pair(self.stride)
+        ph, pw = _pair(self.padding)
+        cin = x.shape[-1]
+        kernel = self.param("kernel_t", conv_kernel_init, (kh, kw, cin, self.features), jnp.float32)
+        fan_in = kh * kw * self.features  # torch convT fan_in = Cout*kh*kw
+        bias = (
+            self.param("bias", torch_bias_init(fan_in), (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        dtype = self.dtype or x.dtype
+        if (kh, kw, sh, sw, ph, pw) == (2, 2, 2, 2, 0, 0):
+            return conv_transpose_2x2(
+                x.astype(dtype), kernel.astype(dtype), bias.astype(jnp.float32) if bias is not None else None
+            )
+        flipped = kernel[::-1, ::-1, :, :]
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            flipped.astype(dtype),
+            window_strides=(1, 1),
+            padding=((kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)),
+            lhs_dilation=(sh, sw),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        )
+        if bias is not None:
+            y = y + bias
+        return y.astype(dtype)
+
+
 class BatchNorm(nn.Module):
     """torch.nn.BatchNorm2d-exact batch normalization (see module docstring)."""
 

@@ -16,3 +16,17 @@ Reference layer map: see SURVEY.md at the repo root.
 """
 
 __version__ = "0.1.0"
+
+# Honor JAX_PLATFORMS even when the host image's sitecustomize pins
+# jax_platforms to a hardware plugin (observed: 'axon' tunnel overrides
+# the env var).  Must run before any backend is initialized.
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # backend already initialized — leave it be
+        pass
+del _os

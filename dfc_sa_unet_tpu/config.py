@@ -1,0 +1,56 @@
+"""YAML config loading + CLI override merge.
+
+Same 4-section schema as the reference (training / model / dataset /
+logging; see reference README.md:112-147 and all configs/*.yaml), with
+light validation the reference lacks, and the documented loss-weight
+spelling fix (both ``weight_bce``/``bce_weight`` accepted downstream).
+"""
+
+from typing import Any, Dict, Optional
+
+import yaml
+
+REQUIRED_SECTIONS = ("training", "model", "dataset", "logging")
+
+
+def load_config(path: str) -> Dict[str, Any]:
+    with open(path.replace("\\", "/"), "r", encoding="utf-8") as f:
+        config = yaml.safe_load(f)
+    missing = [s for s in REQUIRED_SECTIONS if s not in config]
+    if missing:
+        raise ValueError(f"config {path} missing sections: {missing}")
+    if "name" not in config["model"]:
+        raise ValueError("config['model'] must include 'name'")
+    config["training"].setdefault("loss", {"type": "dice", "params": {}})
+    config["training"]["loss"].setdefault("params", {})
+    return config
+
+
+def apply_overrides(
+    config: Dict[str, Any],
+    loss: Optional[str] = None,
+    alpha: Optional[float] = None,
+    beta: Optional[float] = None,
+    weight_bce: Optional[float] = None,
+    weight_dice: Optional[float] = None,
+    bce_weight: Optional[float] = None,
+    dice_weight: Optional[float] = None,
+    contour_weight: Optional[float] = None,
+    augmentation: Optional[bool] = None,
+) -> Dict[str, Any]:
+    """CLI-over-YAML precedence (reference train.py:119-134, done once
+    instead of the reference's duplicated merge)."""
+    lp = config["training"]["loss"]["params"]
+    if loss is not None:
+        config["training"]["loss"]["type"] = loss
+    for key, val in (
+        ("alpha", alpha), ("beta", beta),
+        ("weight_bce", weight_bce), ("weight_dice", weight_dice),
+        ("bce_weight", bce_weight), ("dice_weight", dice_weight),
+        ("contour_weight", contour_weight),
+    ):
+        if val is not None:
+            lp[key] = val
+    if augmentation is not None:
+        config["dataset"]["augmentation"] = augmentation
+    return config

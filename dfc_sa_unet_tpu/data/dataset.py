@@ -1,0 +1,66 @@
+"""SegmentationDataset — the dataset the reference *imports but does not
+ship* (``from datasets.segmentation_dataset import SegmentationDataset``
+at reference utils/data_loader.py:7; no ``datasets/`` directory exists).
+
+Re-specified from its call contract:
+  * ctor ``(root, transform, img_size)`` (reference utils/data_loader.py:147-151)
+  * scans ``root/original/`` and ``root/mask/`` for identically-named
+    files (reference README.md:67-76)
+  * ``__getitem__`` returns ``{'image', 'mask', 'filename'}``
+    (consumed at reference utils/trainer.py:116-117,195-197)
+  * applies the paired transform ``t(img, mask)``
+
+Images load as RGB, masks as grayscale ('L').  Mask files may use a
+different extension than their image (matched by basename).
+"""
+
+import os
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+from PIL import Image, ImageFile
+
+ImageFile.LOAD_TRUNCATED_IMAGES = True  # tolerate corrupt tails like reference inference.py:18-19
+
+_IMG_EXTS = (".png", ".jpg", ".jpeg", ".tif", ".tiff", ".bmp")
+
+
+class SegmentationDataset:
+    def __init__(
+        self,
+        root: str,
+        transform: Optional[Callable] = None,
+        img_size: Tuple[int, int] = (224, 224),
+    ):
+        self.root = root.replace("\\", "/")
+        self.transform = transform
+        self.img_size = tuple(img_size)
+        img_dir = os.path.join(self.root, "original")
+        mask_dir = os.path.join(self.root, "mask")
+        if not os.path.isdir(img_dir) or not os.path.isdir(mask_dir):
+            raise FileNotFoundError(
+                f"expected '{img_dir}' and '{mask_dir}' directories (README dataset layout)"
+            )
+        masks_by_base = {}
+        for f in sorted(os.listdir(mask_dir)):
+            base, ext = os.path.splitext(f)
+            if ext.lower() in _IMG_EXTS:
+                masks_by_base.setdefault(base, os.path.join(mask_dir, f))
+        self.samples = []
+        for f in sorted(os.listdir(img_dir)):
+            base, ext = os.path.splitext(f)
+            if ext.lower() in _IMG_EXTS and base in masks_by_base:
+                self.samples.append((os.path.join(img_dir, f), masks_by_base[base], f))
+        if not self.samples:
+            raise FileNotFoundError(f"no paired image/mask files under {self.root}")
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, idx, rng: Optional[np.random.Generator] = None):
+        img_path, mask_path, filename = self.samples[idx]
+        img = Image.open(img_path).convert("RGB")
+        mask = Image.open(mask_path).convert("L")
+        if self.transform is not None:
+            img, mask = self.transform(img, mask, rng=rng)
+        return {"image": img, "mask": mask, "filename": filename}

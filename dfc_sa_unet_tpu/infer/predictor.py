@@ -1,0 +1,143 @@
+"""Inference engine: direct and batched sliding-window prediction.
+
+The reference (inference.py:104-153) runs one H2D->forward->D2H round trip
+*per tile* — the dominant cost on any accelerator.  Here all tiles of an
+image are extracted host-side (uint8), stacked, and run through the model
+in fixed-size batches (padding the last chunk so XLA sees exactly one
+batch shape), then count-average-stitched on host.  TTA (identity + hflip
++ vflip, reference inference.py:134-141) rides the same batches: the
+flipped copies are concatenated into the batch dimension instead of
+tripling the number of forward passes.
+
+When an image is at least tile_size in both dimensions, every clamped
+tile is exactly tile_size x tile_size (reference's y_start clamp), so the
+batched path is shape-static.  Smaller images fall back to a direct
+forward at their own shape, exactly like the reference would.
+"""
+
+import os
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from PIL import Image, ImageFile
+
+from dfc_sa_unet_tpu.data.loader import normalize_on_device
+
+ImageFile.LOAD_TRUNCATED_IMAGES = True
+
+
+def load_image(image_path: str, target_size: Optional[Tuple[int, int]] = None):
+    """Load an image as RGB uint8 (PIL; cv2 for TIFF incl. BGRA handling,
+    reference inference.py:34-71).  Returns (array_for_model, original_rgb)
+    where array_for_model is optionally resized to target_size (W, H)."""
+    image_path = image_path.replace("\\", "/")
+    try:
+        if image_path.lower().endswith((".tif", ".tiff")):
+            import cv2
+
+            arr = cv2.imread(image_path, cv2.IMREAD_UNCHANGED)
+            if arr is None:
+                raise IOError(f"cv2 could not read {image_path}")
+            if arr.ndim == 3 and arr.shape[2] == 4:
+                arr = cv2.cvtColor(arr, cv2.COLOR_BGRA2BGR)
+            if arr.ndim == 2:
+                arr = cv2.cvtColor(arr, cv2.COLOR_GRAY2BGR)
+            original = cv2.cvtColor(arr, cv2.COLOR_BGR2RGB)
+        else:
+            original = np.array(Image.open(image_path).convert("RGB"))
+        img = original
+        if target_size:
+            img = np.array(
+                Image.fromarray(original).resize(tuple(target_size), Image.Resampling.BILINEAR)
+            )
+        return img, original
+    except Exception as e:  # noqa: BLE001 — mirror reference's skip-and-continue
+        print(f"Error: could not load image {image_path}: {e}")
+        return None, None
+
+
+class Predictor:
+    """Jitted forward wrapper with a per-shape compile cache."""
+
+    def __init__(self, model, variables, compute_dtype=None):
+        self.model = model
+        self.variables = variables
+        self.compute_dtype = compute_dtype or jnp.float32
+
+        @partial(jax.jit, static_argnames=())
+        def _forward_u8(variables, images_u8):
+            x = normalize_on_device(images_u8, self.compute_dtype)
+            logits = self.model.apply(variables, x, train=False)
+            return jax.nn.sigmoid(logits.astype(jnp.float32))
+
+        self._forward_u8 = _forward_u8
+
+    def predict_probs(self, images_u8: np.ndarray) -> np.ndarray:
+        """[B,H,W,3] uint8 -> [B,H,W] probabilities."""
+        probs = self._forward_u8(self.variables, jnp.asarray(images_u8))
+        return np.asarray(probs)[..., 0]
+
+    # ------------------------------------------------------------- direct
+
+    def predict_single(self, image_u8: np.ndarray) -> np.ndarray:
+        """One image, at its own resolution (reference inference.py:93-102)."""
+        return self.predict_probs(image_u8[None])[0]
+
+    # ----------------------------------------------------- sliding window
+
+    def predict_sliding(
+        self,
+        image_u8: np.ndarray,
+        tile_size: int = 224,
+        overlap: int = 50,
+        batch_size: int = 32,
+        tta: bool = False,
+    ) -> np.ndarray:
+        """Overlap-averaged sliding-window prediction
+        (reference inference.py:104-153), batched.
+        """
+        h, w = image_u8.shape[:2]
+        if h < tile_size or w < tile_size:
+            return self.predict_single(image_u8)
+        stride = tile_size - overlap
+        coords = []
+        for y in range(0, h, stride):
+            for x in range(0, w, stride):
+                y_end, x_end = min(y + tile_size, h), min(x + tile_size, w)
+                coords.append((max(0, y_end - tile_size), max(0, x_end - tile_size)))
+        tiles = np.stack(
+            [image_u8[ys : ys + tile_size, xs : xs + tile_size] for ys, xs in coords]
+        )
+
+        variants = [tiles]
+        if tta:
+            variants += [tiles[:, :, ::-1], tiles[:, ::-1, :]]  # hflip(W), vflip(H)
+        stacked = np.concatenate(variants, axis=0)
+
+        # fixed-size chunks: pad the tail so XLA compiles exactly one shape
+        n = stacked.shape[0]
+        preds = np.empty((n, tile_size, tile_size), np.float32)
+        for lo in range(0, n, batch_size):
+            hi = min(lo + batch_size, n)
+            chunk = stacked[lo:hi]
+            if hi - lo < batch_size:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((batch_size - (hi - lo), *chunk.shape[1:]), chunk.dtype)]
+                )
+            preds[lo:hi] = self.predict_probs(chunk)[: hi - lo]
+
+        t = len(coords)
+        pred = preds[:t]
+        if tta:
+            pred = (pred + preds[t : 2 * t, :, ::-1] + preds[2 * t :, ::-1, :]) / 3.0
+
+        canvas = np.zeros((h, w), np.float32)
+        counts = np.zeros((h, w), np.float32)
+        for p, (ys, xs) in zip(pred, coords):
+            canvas[ys : ys + tile_size, xs : xs + tile_size] += p
+            counts[ys : ys + tile_size, xs : xs + tile_size] += 1.0
+        counts[counts == 0] = 1.0
+        return canvas / counts

@@ -81,7 +81,8 @@ def max_pool(
     oh, ow = out_size(h), out_size(w)
     pad_h_hi = (oh - 1) * stride + window - h - padding
     pad_w_hi = (ow - 1) * stride + window - w - padding
-    neg = jnp.asarray(-jnp.inf, dtype=x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    # literal init value (a traced -inf breaks reduce_window's max autodiff rule)
+    neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return jax.lax.reduce_window(
         x,
         neg,

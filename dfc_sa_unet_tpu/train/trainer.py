@@ -1,0 +1,378 @@
+"""Trainer — jitted epoch loop with the reference's training semantics.
+
+Reference behavior preserved (utils/trainer.py:105-461):
+  * forward -> sigmoid -> loss on probabilities, per-batch hard IoU/Dice,
+  * NaN-loss batches are skipped (branch-free on device: a non-finite loss
+    zeroes the update and the batch is excluded from running means),
+  * grad clip at global-norm 1.0, SGD(momentum, weight_decay),
+  * per-epoch validation with best/worst-K sample collection by Dice,
+  * best model = highest validation Dice; periodic + best checkpoints,
+  * loss/Dice/IoU plots + CSVs each epoch, per-epoch sample dumps.
+
+TPU-first differences (documented, not semantic):
+  * per-sample validation metrics are one vectorized reduction on device
+    (the reference re-runs calculate_metrics per sample on host),
+  * only scalar metrics sync to host each step; images for the K sample
+    dumps are re-read from disk after the epoch,
+  * resume actually works: full state (params, batch_stats, optimizer
+    momentum, history, epoch) restores and training continues at epoch+1
+    (the reference wipes history and restarts at 0 — SURVEY.md §3.5),
+  * optional data-parallel mesh: batches are sharded over 'data', XLA
+    inserts the gradient/BN-stat reductions over ICI automatically.
+"""
+
+import os
+import time
+from functools import partial
+from typing import Any, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from dfc_sa_unet_tpu.data.loader import (
+    BatchLoader,
+    binarize_mask_on_device,
+    normalize_on_device,
+)
+from dfc_sa_unet_tpu.losses import compute_loss
+from dfc_sa_unet_tpu.metrics import hard_dice_iou, per_sample_hard_dice_iou
+from dfc_sa_unet_tpu.train import optim
+from dfc_sa_unet_tpu.utils import checkpoint as ckpt_util
+from dfc_sa_unet_tpu.utils.visualization import (
+    save_loss_plot,
+    save_metrics_plot,
+    save_prediction_samples,
+)
+
+HISTORY_KEYS = (
+    "train_losses", "val_losses", "train_dice_scores", "val_dice_scores",
+    "train_iou_scores", "val_iou_scores",
+)
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        train_loader: BatchLoader,
+        val_loader: BatchLoader,
+        config: Mapping[str, Any],
+        mesh: Optional[jax.sharding.Mesh] = None,
+        seed: int = 0,
+        compute_dtype=None,
+    ):
+        self.model = model
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.config = config
+        self.mesh = mesh
+        self.compute_dtype = compute_dtype
+
+        tr = config["training"]
+        self.num_epochs = tr["num_epochs"]
+        self.save_checkpoint_freq = tr.get("save_checkpoint_freq", 100)
+        loss_cfg = tr.get("loss", {}) or {}
+        self.loss_type = loss_cfg.get("type", "dice")
+        self.loss_params = dict(loss_cfg.get("params", {}) or {})
+
+        self.log_dir = config["logging"]["log_dir"].replace("\\", "/")
+        self.images_dir = config["logging"]["images_dir"].replace("\\", "/")
+        self.save_k = config["logging"].get("save_best_worst_samples", 0)
+        os.makedirs(self.log_dir, exist_ok=True)
+        os.makedirs(self.images_dir, exist_ok=True)
+        self.checkpoint_dir = os.path.join(self.log_dir, "checkpoints")
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        self.best_model_path = os.path.join(self.log_dir, "best_model")
+
+        self.tx = optim.from_config(config)
+        self.base_key = jax.random.key(seed)
+        self.history = {k: [] for k in HISTORY_KEYS}
+        self.epochs: list = []
+        self.best_val_dice = 0.0
+        self.best_val_loss = float("inf")
+        self.start_epoch = 0
+        self.start_time = time.time()
+
+        self._train_step = jax.jit(partial(self._step_impl, train=True))
+        self._eval_step = jax.jit(partial(self._step_impl, train=False))
+
+        if self.mesh is not None:
+            self._data_sharding = jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec("data")
+            )
+            self._replicated = jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec()
+            )
+        else:
+            self._data_sharding = None
+
+    # ---------------------------------------------------------------- state
+
+    def init_state(self, sample_batch) -> TrainState:
+        x = normalize_on_device(jnp.asarray(sample_batch["image"][:1]), self.compute_dtype or jnp.float32)
+        variables = self.model.init(self.base_key, x, train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = self.tx.init(params)
+        state = TrainState(
+            params=params, batch_stats=batch_stats, opt_state=opt_state,
+            step=jnp.zeros((), jnp.int32),
+        )
+        if self.mesh is not None:
+            state = jax.device_put(state, self._replicated)
+        return state
+
+    # ---------------------------------------------------------------- steps
+
+    def _forward(self, params, batch_stats, x, train, rng):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        mutable = ["batch_stats"] if (train and batch_stats) else False
+        rngs = {"dropout": rng} if train else None
+        out = self.model.apply(variables, x, train=train, mutable=mutable, rngs=rngs)
+        if mutable:
+            logits, mutated = out
+            return logits, mutated.get("batch_stats", batch_stats)
+        return out, batch_stats
+
+    def _step_impl(self, state: TrainState, images_u8, masks_u8, *, train: bool):
+        x = normalize_on_device(images_u8, self.compute_dtype or jnp.float32)
+        t = binarize_mask_on_device(masks_u8)
+        rng = jax.random.fold_in(self.base_key, state.step)
+
+        if not train:
+            logits, _ = self._forward(state.params, state.batch_stats, x, False, rng)
+            probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+            loss = compute_loss(probs, t, self.loss_type, self.loss_params)
+            iou, dice = hard_dice_iou(probs, t)
+            ps_iou, ps_dice = per_sample_hard_dice_iou(probs, t)
+            return state, {
+                "loss": loss, "iou": iou, "dice": dice,
+                "per_sample_iou": ps_iou, "per_sample_dice": ps_dice,
+            }
+
+        def loss_fn(params):
+            logits, new_stats = self._forward(params, state.batch_stats, x, True, rng)
+            probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+            loss = compute_loss(probs, t, self.loss_type, self.loss_params)
+            return loss, (probs, new_stats)
+
+        (loss, (probs, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        finite = jnp.isfinite(loss)
+        # NaN guard (reference utils/trainer.py:134-139): skip the update.
+        grads = jax.tree.map(lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+        updates, new_opt_state = self.tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p + jnp.where(finite, u, 0.0), state.params, updates)
+        new_opt_state = jax.tree.map(
+            lambda n, o: jnp.where(finite, n, o), new_opt_state, state.opt_state
+        )
+        iou, dice = hard_dice_iou(probs, t)
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+            step=state.step + 1,
+        )
+        return new_state, {"loss": loss, "iou": iou, "dice": dice, "finite": finite}
+
+    def _put_batch(self, batch):
+        imgs = jnp.asarray(batch["image"])
+        masks = jnp.asarray(batch["mask"])
+        if self._data_sharding is not None and imgs.shape[0] % self.mesh.devices.size == 0:
+            imgs = jax.device_put(imgs, self._data_sharding)
+            masks = jax.device_put(masks, self._data_sharding)
+        return imgs, masks
+
+    # ---------------------------------------------------------------- epochs
+
+    def train_epoch(self, state: TrainState, epoch: int):
+        self.train_loader.set_epoch(epoch)
+        sums = {"loss": 0.0, "iou": 0.0, "dice": 0.0}
+        n_used = 0
+        for batch in self.train_loader:
+            imgs, masks = self._put_batch(batch)
+            state, metrics = self._train_step(state, imgs, masks)
+            loss = float(metrics["loss"])
+            if not np.isfinite(loss):
+                print(f"Warning: NaN loss detected at step {int(state.step)}; batch skipped")
+                continue
+            if loss > 100:
+                print(f"Warning: very large loss detected: {loss:.6f}")
+            sums["loss"] += loss
+            sums["iou"] += float(metrics["iou"])
+            sums["dice"] += float(metrics["dice"])
+            n_used += 1
+        n = max(n_used, 1)
+        return state, (sums["loss"] / n, sums["iou"] / n, sums["dice"] / n)
+
+    def validate_epoch(self, state: TrainState, loader: Optional[BatchLoader] = None):
+        loader = loader or self.val_loader
+        sums = {"loss": 0.0, "iou": 0.0, "dice": 0.0}
+        n_batches = 0
+        sample_records = []  # (dice, iou, filename)
+        for batch in loader:
+            imgs, masks = self._put_batch(batch)
+            _, metrics = self._eval_step(state, imgs, masks)
+            loss = float(metrics["loss"])
+            if not np.isfinite(loss):
+                print("Warning: NaN loss detected in validation; batch skipped")
+                continue
+            sums["loss"] += loss
+            sums["iou"] += float(metrics["iou"])
+            sums["dice"] += float(metrics["dice"])
+            n_batches += 1
+            ps_dice = np.asarray(metrics["per_sample_dice"])
+            ps_iou = np.asarray(metrics["per_sample_iou"])
+            for i, fname in enumerate(batch["filename"]):
+                sample_records.append((float(ps_dice[i]), float(ps_iou[i]), fname))
+        n = max(n_batches, 1)
+        sample_records.sort(key=lambda r: r[0])
+        k = self.save_k
+        return {
+            "loss": sums["loss"] / n,
+            "iou": sums["iou"] / n,
+            "dice": sums["dice"] / n,
+            "worst_samples": sample_records[:k] if k else [],
+            "best_samples": sample_records[-k:] if k else [],
+        }
+
+    # ------------------------------------------------------------ checkpoint
+
+    def _state_to_tree(self, state: TrainState, epoch: int):
+        opt_leaves = jax.tree.leaves(state.opt_state)
+        return {
+            "epoch": np.asarray(epoch),
+            "step": np.asarray(state.step),
+            "params": jax.tree.map(np.asarray, state.params),
+            "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
+            "opt_leaves": [np.asarray(l) for l in opt_leaves],
+            "history": {k: np.asarray(v, np.float64) for k, v in self.history.items()},
+            "best_val_dice": np.asarray(self.best_val_dice),
+            "best_val_loss": np.asarray(self.best_val_loss),
+        }
+
+    def save_checkpoint(self, state: TrainState, epoch: int, is_best: bool = False):
+        tree = self._state_to_tree(state, epoch)
+        path = os.path.join(self.checkpoint_dir, f"checkpoint_epoch_{epoch + 1}")
+        ckpt_util.save_pytree(path, tree)
+        if is_best:
+            ckpt_util.save_pytree(os.path.join(self.checkpoint_dir, "best_checkpoint"), tree)
+            ckpt_util.save_pytree(
+                self.best_model_path,
+                {"params": tree["params"], "batch_stats": tree["batch_stats"]},
+            )
+
+    def load_checkpoint(self, path: str, state: TrainState) -> TrainState:
+        """Restore full training state; sets start_epoch to epoch+1."""
+        template = self._state_to_tree(state, 0)
+        tree = ckpt_util.restore_pytree(path, template)
+        opt_state = jax.tree.unflatten(
+            jax.tree.structure(state.opt_state), [jnp.asarray(l) for l in tree["opt_leaves"]]
+        )
+        self.history = {k: list(np.asarray(v)) for k, v in tree["history"].items()}
+        self.epochs = list(range(1, len(self.history["train_losses"]) + 1))
+        self.best_val_dice = float(tree["best_val_dice"])
+        self.best_val_loss = float(tree["best_val_loss"])
+        self.start_epoch = int(tree["epoch"]) + 1
+        new_state = TrainState(
+            params=jax.tree.map(jnp.asarray, tree["params"]),
+            batch_stats=jax.tree.map(jnp.asarray, tree["batch_stats"]),
+            opt_state=opt_state,
+            step=jnp.asarray(tree["step"], jnp.int32),
+        )
+        if self.mesh is not None:
+            new_state = jax.device_put(new_state, self._replicated)
+        print(f"Resuming from epoch {self.start_epoch}")
+        return new_state
+
+    # ---------------------------------------------------------------- train
+
+    def _dump_samples(self, state: TrainState, records, out_dir: str):
+        """Re-read the K selected samples and render prediction dumps."""
+        if not records:
+            return
+        os.makedirs(out_dir, exist_ok=True)
+        dataset = self.val_loader.dataset
+        by_name = {s[2]: i for i, s in enumerate(dataset.samples)}
+        for _, _, fname in records:
+            idx = by_name.get(fname)
+            if idx is None:
+                continue
+            sample = dataset.__getitem__(idx)
+            img_u8 = sample["image"][None]
+            mask_u8 = sample["mask"][None]
+            x = normalize_on_device(jnp.asarray(img_u8), self.compute_dtype or jnp.float32)
+            logits, _ = self._forward(state.params, state.batch_stats, x, False, self.base_key)
+            probs = np.asarray(jax.nn.sigmoid(logits.astype(jnp.float32)))
+            img_norm = np.asarray(x)
+            mask = (mask_u8 >= 128).astype(np.float32)[..., None]
+            save_prediction_samples(img_norm, probs, mask, [fname], out_dir)
+
+    def train(self, resume_from: Optional[str] = None, state: Optional[TrainState] = None):
+        first_batch = next(iter(self.val_loader))
+        if state is None:
+            state = self.init_state(first_batch)
+        if resume_from:
+            state = self.load_checkpoint(resume_from, state)
+
+        print(f"Using loss: {self.loss_type} params={self.loss_params}")
+        for epoch in range(self.start_epoch, self.num_epochs):
+            state, (tr_loss, tr_iou, tr_dice) = self.train_epoch(state, epoch)
+            val = self.validate_epoch(state)
+
+            self.epochs.append(epoch + 1)
+            self.history["train_losses"].append(tr_loss)
+            self.history["val_losses"].append(val["loss"])
+            self.history["train_dice_scores"].append(tr_dice)
+            self.history["val_dice_scores"].append(val["dice"])
+            self.history["train_iou_scores"].append(tr_iou)
+            self.history["val_iou_scores"].append(val["iou"])
+
+            print(f"Epoch [{epoch + 1}/{self.num_epochs}]")
+            print(f"  Train Loss: {tr_loss:.4f}, Dice: {tr_dice:.4f}, IoU: {tr_iou:.4f}")
+            print(f"  Val Loss: {val['loss']:.4f}, Dice: {val['dice']:.4f}, IoU: {val['iou']:.4f}")
+
+            is_best = val["dice"] > self.best_val_dice
+            if is_best:
+                self.best_val_dice = val["dice"]
+                print(f"  Saved best model with validation dice: {self.best_val_dice:.4f}")
+            self.best_val_loss = min(self.best_val_loss, val["loss"])
+
+            if (epoch + 1) % self.save_checkpoint_freq == 0 or is_best:
+                self.save_checkpoint(state, epoch, is_best)
+
+            save_loss_plot(
+                self.history["train_losses"], self.history["val_losses"],
+                os.path.join(self.images_dir, "loss_plot.png"),
+            )
+            save_metrics_plot(
+                self.epochs, self.history["train_dice_scores"], self.history["val_dice_scores"],
+                "Dice", os.path.join(self.images_dir, "dice_plot.png"),
+            )
+            save_metrics_plot(
+                self.epochs, self.history["train_iou_scores"], self.history["val_iou_scores"],
+                "IoU", os.path.join(self.images_dir, "iou_plot.png"),
+            )
+
+            if self.save_k:
+                epoch_dir = os.path.join(self.log_dir, f"epoch_{epoch + 1}")
+                self._dump_samples(state, val["best_samples"], os.path.join(epoch_dir, "best_samples"))
+                self._dump_samples(state, val["worst_samples"], os.path.join(epoch_dir, "worst_samples"))
+
+        total = time.time() - self.start_time
+        h, rem = divmod(total, 3600)
+        m, s = divmod(rem, 60)
+        print(f"Training completed in {int(h)}h {int(m)}m {int(s)}s")
+        print(f"Best validation dice: {self.best_val_dice:.4f}")
+        print(f"Best model saved to {self.best_model_path}")
+        return state

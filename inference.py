@@ -1,0 +1,225 @@
+#!/usr/bin/env python
+"""Inference entry point — CLI-compatible with the reference inference.py
+(including its README's flag spellings: --model/--model_path and
+--output/--output_dir are both accepted, fixing reference defect #5).
+
+    python inference.py --config CFG.yaml --model CKPT --input DIR
+        [--output DIR] [--csv_dir DIR] [--threshold 0.5]
+        [--tile_size 224] [--overlap 50] [--resize W H]
+        [--no_slide_window] [--tta] [--bf16] [--batch_size 32]
+
+CKPT may be an Orbax checkpoint directory produced by train.py (full
+trainer state or best_model) or a PyTorch ``.pth`` from the reference
+(raw state_dict or trainer checkpoint) — converted on load.
+
+Eval-mode autodetect: if DIR contains ``original/`` and ``mask/``
+subdirectories, per-image and global micro-averaged metrics are computed
+and written to CSV (the reference computes micro-averaged global metrics
+but labels them "Macro-Averaged", inference.py:349-368 — defect #7; we
+label them correctly).
+"""
+
+import argparse
+import csv
+import glob
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dfc_sa_unet_tpu.config import load_config
+from dfc_sa_unet_tpu.infer.predictor import Predictor, load_image
+from dfc_sa_unet_tpu.metrics import metrics_from_counts
+from dfc_sa_unet_tpu.models.factory import ModelFactory
+from dfc_sa_unet_tpu.utils import checkpoint as ckpt_util
+from dfc_sa_unet_tpu.utils.visualization import create_combined_visualization, create_overlay
+
+
+def _norm(p):
+    return p.replace("\\", "/") if p else p
+
+
+def load_model_variables(model, model_path, img_size, in_channels=3):
+    """Load weights from an Orbax dir or a torch .pth."""
+    model_path = _norm(model_path)
+    x = jnp.zeros((1, img_size[0], img_size[1], in_channels), jnp.float32)
+    template = model.init(jax.random.key(0), x, train=False)
+    if model_path.endswith(".pth") or model_path.endswith(".pt"):
+        from dfc_sa_unet_tpu.utils.torch_convert import load_torch_checkpoint
+
+        variables = load_torch_checkpoint(model_path, template)
+        print(f"Loaded PyTorch weights from {model_path}")
+    else:
+        tree = ckpt_util.restore_pytree(model_path)
+        if "params" not in tree:
+            raise ValueError(f"checkpoint at {model_path} has no 'params'")
+        variables = {"params": tree["params"]}
+        if tree.get("batch_stats") is not None:
+            variables["batch_stats"] = tree["batch_stats"]
+        epoch = tree.get("epoch")
+        print(f"Loaded checkpoint from {model_path}" + (f" (epoch {int(epoch) + 1})" if epoch is not None else ""))
+    return jax.tree.map(jnp.asarray, variables)
+
+
+def save_prediction(original_image, pred_prob, pred_binary, output_dir, filename, gt_mask=None):
+    """Artifact set per image (reference inference.py:155-186)."""
+    import cv2
+
+    output_dir = _norm(output_dir)
+    os.makedirs(output_dir, exist_ok=True)
+    pred_binary_img = (pred_binary * 255).astype(np.uint8)
+    gt_vis = ((gt_mask > 0) * 255).astype(np.uint8) if gt_mask is not None else None
+
+    if gt_vis is not None:
+        create_combined_visualization(
+            original_image, pred_binary_img, gt_vis, filename,
+            os.path.join(output_dir, f"{filename}_combined_view.png"),
+        )
+
+    individual = os.path.join(output_dir, filename)
+    os.makedirs(individual, exist_ok=True)
+    heatmap = cv2.applyColorMap((pred_prob * 255).astype(np.uint8), cv2.COLORMAP_JET)
+    overlay = create_overlay(original_image, pred_binary)
+    cv2.imwrite(os.path.join(individual, "original.png"), cv2.cvtColor(original_image, cv2.COLOR_RGB2BGR))
+    cv2.imwrite(os.path.join(individual, "pred_heatmap.png"), heatmap)
+    cv2.imwrite(os.path.join(individual, "pred_binary.png"), pred_binary_img)
+    cv2.imwrite(os.path.join(individual, "pred_overlay.png"), cv2.cvtColor(overlay, cv2.COLOR_RGB2BGR))
+    if gt_vis is not None:
+        cv2.imwrite(os.path.join(individual, "ground_truth.png"), gt_vis)
+
+
+def main(args):
+    import cv2
+
+    config = load_config(_norm(args.config))
+    if "pretrained_path" in config["model"]:
+        config["model"]["pretrained_path"] = None
+    img_size = tuple(config["dataset"].get("img_size", [224, 224]))
+
+    dtype = jnp.bfloat16 if args.bf16 else None
+    model = ModelFactory.get_model(config, dtype=dtype)
+    variables = load_model_variables(model, args.model, img_size, config["model"].get("in_channels", 3))
+    predictor = Predictor(model, variables, compute_dtype=dtype)
+    print(f"Model {config['model'].get('name')} ready on {jax.devices()[0]}")
+    if args.tta:
+        print("Test-time augmentation (TTA) enabled.")
+    print("Mode: " + ("direct prediction" if args.no_slide_window else "sliding window"))
+
+    output_dir = _norm(args.output)
+    os.makedirs(output_dir, exist_ok=True)
+
+    # eval-mode autodetect (reference inference.py:240-250)
+    input_dir = _norm(args.input)
+    evaluate = False
+    original_dir = input_dir
+    mask_dir = os.path.join(input_dir, "mask")
+    if os.path.isdir(mask_dir):
+        cand = os.path.join(input_dir, "original")
+        if os.path.isdir(cand):
+            original_dir, evaluate = cand, True
+            print("Found 'original' and 'mask' subdirectories — evaluation enabled.")
+        else:
+            print("Warning: 'mask' found without 'original'; skipping evaluation.")
+
+    image_files = []
+    for ext in ("*.png", "*.jpg", "*.jpeg", "*.tif", "*.tiff"):
+        image_files.extend(sorted(glob.glob(os.path.join(original_dir, ext))))
+    if not image_files:
+        print(f"No image files found in {original_dir}.")
+        return
+
+    all_metrics = []
+    totals = {"tp": 0, "fp": 0, "fn": 0, "tn": 0}
+
+    for image_path in image_files:
+        filename = os.path.splitext(os.path.basename(image_path))[0]
+        if args.no_slide_window:
+            target = tuple(args.resize) if args.resize else None
+            img, original = load_image(image_path, target_size=target)
+            if img is None:
+                continue
+            prob_small = predictor.predict_single(img)
+            oh, ow = original.shape[:2]
+            pred_prob = cv2.resize(prob_small, (ow, oh), interpolation=cv2.INTER_LINEAR)
+        else:
+            _, original = load_image(image_path)
+            if original is None:
+                continue
+            pred_prob = predictor.predict_sliding(
+                original, args.tile_size, args.overlap, args.batch_size, tta=args.tta
+            )
+        pred_binary = (pred_prob > args.threshold).astype(np.uint8)
+
+        gt_mask = None
+        if evaluate:
+            mask_path = next(iter(glob.glob(os.path.join(mask_dir, f"{filename}.*"))), None)
+            if mask_path and os.path.exists(mask_path):
+                _, gt_full = load_image(mask_path)
+                if gt_full is not None:
+                    gt_gray = cv2.cvtColor(gt_full, cv2.COLOR_RGB2GRAY)
+                    ph, pw = pred_prob.shape
+                    gt_resized = (cv2.resize(gt_gray, (pw, ph), interpolation=cv2.INTER_NEAREST) > 128).astype(np.uint8)
+                    gt_mask = (gt_gray > 128).astype(np.uint8)
+                    tp = int(np.sum((pred_binary > 0) & (gt_resized > 0)))
+                    fp = int(pred_binary.sum()) - tp
+                    fn = int(gt_resized.sum()) - tp
+                    tn = pred_binary.size - tp - fp - fn
+                    for k, v in zip(("tp", "fp", "fn", "tn"), (tp, fp, fn, tn)):
+                        totals[k] += v
+                    m = metrics_from_counts(tp, fp, fn, tn)
+                    m.update({"file": filename, "tp": tp, "fp": fp, "fn": fn, "tn": tn})
+                    all_metrics.append(m)
+                else:
+                    print(f"Warning: could not load mask {mask_path}")
+            else:
+                print(f"Warning: no mask found for '{filename}'")
+
+        save_prediction(original, pred_prob, pred_binary, output_dir, filename, gt_mask=gt_mask)
+
+    if evaluate and all_metrics:
+        g = metrics_from_counts(totals["tp"], totals["fp"], totals["fn"], totals["tn"])
+        print("\n" + "=" * 80)
+        print("--- Inference evaluation summary ---")
+        keys = ["iou", "dice_f1", "accuracy", "recall", "precision", "tp", "fp", "fn", "tn"]
+        print(f"{'File':<30}" + "".join(f"{k.upper():>12}" for k in keys))
+        for m in all_metrics:
+            print(f"{m['file']:<30}" + "".join(f"{m[k]:>12.4f}" for k in keys))
+        print("\n--- Global metrics (Micro-Averaged) ---")
+        for k in ("iou", "dice_f1", "accuracy", "recall", "precision"):
+            print(f"{k:<15} | {g[k]:.4f}")
+        print("=" * 80)
+
+        if args.csv_dir:
+            csv_dir = _norm(args.csv_dir)
+            os.makedirs(csv_dir, exist_ok=True)
+            cfg_name = os.path.splitext(os.path.basename(args.config))[0]
+            csv_path = os.path.join(csv_dir, f"{cfg_name}_metrics.csv")
+        else:
+            csv_path = os.path.join(output_dir, "evaluation_metrics.csv")
+        with open(csv_path, "w", newline="", encoding="utf-8") as f:
+            writer = csv.DictWriter(f, fieldnames=["file"] + keys)
+            writer.writeheader()
+            writer.writerows(all_metrics)
+        print(f"\nMetrics CSV saved to: {csv_path}")
+
+    print(f"\nInference complete. Results saved to {output_dir}")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(description="Run inference (sliding window, TTA, metrics)")
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--model", "--model_path", dest="model", type=str, required=True)
+    parser.add_argument("--input", type=str, required=True)
+    parser.add_argument("--output", "--output_dir", dest="output", type=str, default="results")
+    parser.add_argument("--csv_dir", type=str, default=None)
+    parser.add_argument("--threshold", type=float, default=0.5)
+    parser.add_argument("--tile_size", type=int, default=224)
+    parser.add_argument("--overlap", type=int, default=50)
+    parser.add_argument("--resize", nargs=2, type=int, metavar=("WIDTH", "HEIGHT"))
+    parser.add_argument("--no_slide_window", action="store_true")
+    parser.add_argument("--tta", action="store_true")
+    parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--batch_size", type=int, default=32)
+    main(parser.parse_args())

@@ -1,0 +1,84 @@
+"""Data pipeline tests: dataset contract, transforms parity, loader."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from dfc_sa_unet_tpu.data.dataset import SegmentationDataset
+from dfc_sa_unet_tpu.data.loader import (
+    BatchLoader,
+    binarize_mask_on_device,
+    normalize_on_device,
+)
+from dfc_sa_unet_tpu.data.synthetic import generate
+from dfc_sa_unet_tpu.data.transforms import build_transforms
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    return generate(str(root), n=10, size=64, seed=0)
+
+
+def test_dataset_contract(data_root):
+    ds = SegmentationDataset(data_root, build_transforms((48, 48), augment=False), (48, 48))
+    assert len(ds) == 10
+    s = ds[0]
+    assert set(s) == {"image", "mask", "filename"}
+    assert s["image"].shape == (48, 48, 3) and s["image"].dtype == np.uint8
+    assert s["mask"].shape == (48, 48) and s["mask"].dtype == np.uint8
+    assert s["filename"].endswith(".png")
+
+
+def test_device_normalize_matches_totensor_normalize(data_root):
+    """uint8 + on-device affine == ToTensor + Normalize(ImageNet)."""
+    ds = SegmentationDataset(data_root, build_transforms((32, 32), augment=False), (32, 32))
+    s = ds[3]
+    got = np.asarray(normalize_on_device(jnp.asarray(s["image"][None])))[0]
+    # ToTensor (/255) + Normalize(ImageNet) computed directly
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    ref = (s["image"].astype(np.float32) / 255.0 - mean) / std
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+    # mask binarization: (v/255 > 0.5) == v >= 128
+    m = np.asarray(binarize_mask_on_device(jnp.asarray(s["mask"][None])))[0]
+    want = ((s["mask"].astype(np.float32) / 255.0) > 0.5).astype(np.float32)[..., None]
+    np.testing.assert_array_equal(m, want)
+
+
+def test_loader_batching_and_determinism(data_root):
+    ds = SegmentationDataset(data_root, build_transforms((32, 32), augment=True), (32, 32))
+    loader = BatchLoader(ds, batch_size=4, shuffle=True, num_workers=2, seed=7)
+    loader.set_epoch(0)
+    batches_a = [b["image"].copy() for b in loader]
+    loader.set_epoch(0)
+    batches_b = [b["image"].copy() for b in loader]
+    assert len(batches_a) == 3  # 10 samples / 4 -> 3 batches (last partial)
+    assert batches_a[0].shape == (4, 32, 32, 3)
+    assert batches_a[-1].shape == (2, 32, 32, 3)
+    for a, b in zip(batches_a, batches_b):
+        np.testing.assert_array_equal(a, b)  # same epoch -> same order+augment
+    loader.set_epoch(1)
+    batches_c = [b["image"] for b in loader]
+    assert any(not np.array_equal(a, c) for a, c in zip(batches_a, batches_c))
+
+
+def test_loader_drop_last(data_root):
+    ds = SegmentationDataset(data_root, build_transforms((32, 32), augment=False), (32, 32))
+    loader = BatchLoader(ds, batch_size=4, shuffle=False, drop_last=True)
+    shapes = [b["image"].shape for b in loader]
+    assert shapes == [(4, 32, 32, 3), (4, 32, 32, 3)]
+
+
+def test_augmentation_keeps_pairs_aligned(data_root):
+    """Rotations/flips must apply identically to image and mask."""
+    ds = SegmentationDataset(data_root, build_transforms((64, 64), augment=True), (64, 64))
+    rng = np.random.default_rng(3)
+    s = ds.__getitem__(0, rng=rng)
+    # the blob is bright; thresholding the image should roughly match the mask
+    bright = (s["image"].mean(axis=-1) > 120).astype(np.float32)
+    m = (s["mask"] >= 128).astype(np.float32)
+    inter = (bright * m).sum()
+    dice = 2 * inter / (bright.sum() + m.sum() + 1e-7)
+    assert dice > 0.7, f"augmented image/mask desynced (dice={dice:.3f})"

@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Training entry point — CLI-compatible with the reference train.py.
+
+    python train.py --config configs/config_dfc-sa-res-block.yaml \
+        [--resume CKPT] [--loss {dice,tversky,bce_dice,joint}] [--alpha A]
+        [--beta B] [--weight_bce W] [--weight_dice W] [--bce_weight W]
+        [--dice_weight W] [--contour_weight W] [--augmentation true|false]
+        [--bf16] [--data_parallel]
+
+TPU additions over the reference (train.py:98-136): --bf16 runs the model
+in bfloat16 compute with f32 params/loss; --data_parallel shards batches
+over all visible devices via a 1-D 'data' mesh (a no-op on one chip).
+"""
+
+import argparse
+
+import jax
+
+from dfc_sa_unet_tpu.config import apply_overrides, load_config
+from dfc_sa_unet_tpu.data.loader import DataLoaderFactory
+from dfc_sa_unet_tpu.models.factory import ModelFactory
+from dfc_sa_unet_tpu.train.trainer import Trainer
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Train segmentation model (TPU-native)")
+    parser.add_argument("--config", type=str, required=True, help="Path to config file")
+    parser.add_argument("--resume", type=str, help="Checkpoint to resume from")
+    parser.add_argument("--loss", type=str, choices=["dice", "tversky", "bce_dice", "joint"])
+    parser.add_argument("--alpha", type=float, help="Tversky alpha (FP weight)")
+    parser.add_argument("--beta", type=float, help="Tversky beta (FN weight)")
+    parser.add_argument("--weight_bce", type=float)
+    parser.add_argument("--weight_dice", type=float)
+    parser.add_argument("--bce_weight", type=float)
+    parser.add_argument("--dice_weight", type=float)
+    parser.add_argument("--contour_weight", type=float)
+    parser.add_argument(
+        "--augmentation", type=lambda x: str(x).lower() == "true", default=None,
+        help="Enable/disable data augmentation (true/false)",
+    )
+    parser.add_argument("--bf16", action="store_true", help="bfloat16 compute (f32 master params)")
+    parser.add_argument("--data_parallel", action="store_true", help="Shard batches over all devices")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    config = load_config(args.config)
+    apply_overrides(
+        config, args.loss, args.alpha, args.beta, args.weight_bce, args.weight_dice,
+        args.bce_weight, args.dice_weight, args.contour_weight, args.augmentation,
+    )
+
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if args.bf16 else None
+    devices = jax.devices()
+    print(f"Devices: {devices}")
+    mesh = None
+    if args.data_parallel and len(devices) > 1:
+        mesh = jax.sharding.Mesh(devices, ("data",))
+        print(f"Data-parallel over {len(devices)} devices")
+
+    factory = DataLoaderFactory(config, seed=args.seed)
+    train_loader = factory.get_train_loader(drop_last=mesh is not None)
+    val_loader = factory.get_val_loader()
+
+    model = ModelFactory.get_model(config, dtype=dtype)
+    trainer = Trainer(
+        model, train_loader, val_loader, config, mesh=mesh, seed=args.seed, compute_dtype=dtype
+    )
+    trainer.train(resume_from=args.resume)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Throughput benchmark: DFC-SA-Res inference at 224x224 on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is value / 2000 (the BASELINE.json north-star of >=2,000
+224x224 images/sec/chip on TPU v5e; the reference publishes no numbers).
+
+Flags: --batch N (sweep default), --fp32, --pallas, --steps N, --model NAME
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_IMG_PER_SEC = 2000.0
+
+
+def build(model_name: str, dtype, use_pallas: bool, batch: int, size: int = 224):
+    from dfc_sa_unet_tpu.models.factory import create_model
+
+    cfg = {"model": {"name": model_name, "in_channels": 3, "out_channels": 1,
+                     "features": [64, 128, 256, 512], "pool_size": 8},
+           "dataset": {"img_size": [size, size]}}
+    model = create_model(cfg, dtype=dtype, use_pallas=use_pallas)
+    x_u8 = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, size=(batch, size, size, 3), dtype=np.uint8)
+    )
+    variables = model.init(jax.random.key(0), jnp.zeros((1, size, size, 3), dtype or jnp.float32), train=False)
+
+    from dfc_sa_unet_tpu.data.loader import normalize_on_device
+
+    @jax.jit
+    def forward(variables, x_u8):
+        x = normalize_on_device(x_u8, dtype or jnp.float32)
+        logits = model.apply(variables, x, train=False)
+        return jax.nn.sigmoid(logits.astype(jnp.float32))
+
+    return forward, variables, x_u8
+
+
+def time_it(forward, variables, x_u8, steps: int) -> float:
+    forward(variables, x_u8).block_until_ready()  # compile
+    forward(variables, x_u8).block_until_ready()  # warm
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = forward(variables, x_u8)
+    out.block_until_ready()
+    return (time.perf_counter() - t0) / steps
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=None, help="fixed batch (default: sweep)")
+    p.add_argument("--fp32", action="store_true")
+    p.add_argument("--pallas", action="store_true", help="use the Pallas fused attention kernel")
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--model", type=str, default="DFC-SA-Res-Block")
+    args = p.parse_args()
+
+    dtype = None if args.fp32 else jnp.bfloat16
+    batches = [args.batch] if args.batch else [32, 64, 128]
+    best_ips, best_batch = 0.0, 0
+    for b in batches:
+        try:
+            fwd, variables, x = build(args.model, dtype, args.pallas, b)
+            dt = time_it(fwd, variables, x, args.steps)
+        except Exception as e:  # OOM etc.
+            print(f"# batch {b} failed: {e}", file=sys.stderr)
+            continue
+        ips = b / dt
+        print(f"# batch {b}: {dt * 1e3:.2f} ms/step -> {ips:.1f} img/s", file=sys.stderr)
+        if ips > best_ips:
+            best_ips, best_batch = ips, b
+
+    print(json.dumps({
+        "metric": f"{args.model} 224x224 inference images/sec/chip"
+                  + (" (bf16)" if dtype else " (f32)") + (" (pallas)" if args.pallas else ""),
+        "value": round(best_ips, 1),
+        "unit": "images/sec",
+        "vs_baseline": round(best_ips / BASELINE_IMG_PER_SEC, 4),
+        "batch": best_batch,
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

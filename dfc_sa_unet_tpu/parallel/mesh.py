@@ -1,0 +1,40 @@
+"""Device-mesh utilities for data-parallel training over ICI.
+
+The reference has no distributed support of any kind (SURVEY.md §2.4);
+this module is the TPU-native replacement.  Strategy: GSPMD data
+parallelism — batches carry a NamedSharding over a 1-D 'data' mesh and
+params are replicated; XLA inserts the psum for gradients and the
+cross-replica reductions for BatchNorm statistics automatically (both
+ride ICI within a slice).  No NCCL/MPI analog is needed; the same jitted
+step runs unchanged on 1 chip or N.
+
+Models at this scale (<=105M params) never need TP/PP/SP — attention is
+over at most 32^2 = 1024 pooled tokens (SURVEY.md §5 long-context) — so
+a single 'data' axis is the whole parallelism story, by design.
+"""
+
+from typing import Optional
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def data_parallel_mesh(num_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    """1-D mesh over the first ``num_devices`` visible devices (all by default)."""
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.array(devices), (axis,))
+
+
+def shard_batch(tree, mesh: Mesh, axis: str = "data"):
+    """Shard every array's leading (batch) dimension over the mesh."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree (params/optimizer state) over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Model statistics — params, size, FLOPs — CLI-compatible with the
+reference model_stats.py (argparse surface at reference
+model_stats.py:200-210), with its FLOPs/MACs label swap fixed (the
+reference reports MACs under 'flops' and params under 'macs',
+model_stats.py:179-180).
+
+    python model_stats.py --config CFG.yaml [--output DIR]
+        [--batch_size N] [--height H] [--width W] [--channels C]
+
+FLOPs come from XLA's own cost model (jit(...).lower().compile()
+cost_analysis), i.e. what actually runs on the TPU, not a hook-based
+estimate.
+"""
+
+import argparse
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dfc_sa_unet_tpu.config import load_config
+from dfc_sa_unet_tpu.models.factory import ModelFactory
+
+
+def count_parameters(params, prefix=""):
+    """(per-module table rows, total) — mirrors the reference's per-module
+    breakdown (model_stats.py:15-36) over top-level submodules."""
+    rows = []
+    total = 0
+    for name, sub in sorted(params.items()):
+        n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(sub))
+        rows.append((f"{prefix}{name}", n))
+        total += n
+    return rows, total
+
+
+def model_flops(model, variables, x):
+    def fwd(v, x):
+        return model.apply(v, x, train=False)
+
+    lowered = jax.jit(fwd).lower(variables, x)
+    try:
+        cost = lowered.compile().cost_analysis()
+    except Exception:
+        cost = lowered.cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    return float(cost.get("flops", float("nan"))) if cost else float("nan")
+
+
+def main():
+    p = argparse.ArgumentParser(description="Model parameters / size / FLOPs")
+    p.add_argument("--config", type=str, required=True)
+    p.add_argument("--output", type=str, default="model_stats")
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--height", type=int, default=None)
+    p.add_argument("--width", type=int, default=None)
+    p.add_argument("--channels", type=int, default=None)
+    args = p.parse_args()
+
+    config = load_config(args.config)
+    img_size = config["dataset"].get("img_size", [224, 224])
+    h = args.height or img_size[0]
+    w = args.width or img_size[1]
+    c = args.channels or config["model"].get("in_channels", 3)
+
+    model = ModelFactory.get_model(config)
+    x = jnp.zeros((args.batch_size, h, w, c), jnp.float32)
+    variables = model.init(jax.random.key(0), x, train=False)
+
+    rows, total = count_parameters(variables["params"])
+    n_stats = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(variables.get("batch_stats", {})))
+    size_mb = (total + n_stats) * 4 / (1024 ** 2)
+    flops = model_flops(model, variables, x)
+    macs = flops / 2.0  # one MAC = 2 FLOPs
+
+    name = config["model"]["name"]
+    lines = [
+        f"Model: {name}",
+        f"Input: {(args.batch_size, h, w, c)} (NHWC)",
+        "",
+        f"{'Module':<40}{'Params':>15}",
+        "-" * 55,
+    ]
+    for mod, n in rows:
+        lines.append(f"{mod:<40}{n:>15,}")
+    lines += [
+        "-" * 55,
+        f"{'Total trainable params':<40}{total:>15,}",
+        f"{'BatchNorm running stats':<40}{n_stats:>15,}",
+        f"Model size: {size_mb:.2f} MB (float32)",
+        f"FLOPs (per forward, XLA cost model): {flops:,.0f} ({flops / 1e9:.2f} GFLOPs)",
+        f"MACs: {macs:,.0f} ({macs / 1e9:.2f} GMACs)",
+    ]
+    report = "\n".join(lines)
+    print(report)
+
+    os.makedirs(args.output, exist_ok=True)
+    base = os.path.join(args.output, f"{name}_stats")
+    with open(base + ".txt", "w") as f:
+        f.write(report + "\n")
+    import csv
+
+    with open(base + ".csv", "w", newline="") as f:
+        writer = csv.writer(f)
+        writer.writerow(["module", "params"])
+        writer.writerows(rows)
+        writer.writerow(["TOTAL", total])
+        writer.writerow(["flops", int(flops) if np.isfinite(flops) else ""])
+        writer.writerow(["macs", int(macs) if np.isfinite(macs) else ""])
+        writer.writerow(["size_mb", f"{size_mb:.2f}"])
+
+    # parameter-distribution pie chart (reference model_stats.py:45-68)
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        top = sorted(rows, key=lambda r: -r[1])[:10]
+        rest = total - sum(n for _, n in top)
+        labels = [m for m, _ in top] + (["other"] if rest > 0 else [])
+        sizes = [n for _, n in top] + ([rest] if rest > 0 else [])
+        plt.figure(figsize=(8, 8))
+        plt.pie(sizes, labels=labels, autopct="%1.1f%%")
+        plt.title(f"{name} parameter distribution")
+        plt.savefig(base + "_params_pie.png", bbox_inches="tight")
+        plt.close("all")
+    except Exception as e:  # headless-font issues etc. shouldn't kill stats
+        print(f"(pie chart skipped: {e})")
+    print(f"Reports written to {args.output}/")
+
+
+if __name__ == "__main__":
+    main()

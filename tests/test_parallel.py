@@ -1,0 +1,73 @@
+"""Multi-chip (virtual 8-device CPU mesh) data-parallel tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dfc_sa_unet_tpu.data.synthetic import generate
+from dfc_sa_unet_tpu.data.loader import DataLoaderFactory
+from dfc_sa_unet_tpu.models.factory import ModelFactory
+from dfc_sa_unet_tpu.parallel import data_parallel_mesh, shard_batch
+from dfc_sa_unet_tpu.train.trainer import Trainer
+
+
+def _config(root, log_dir):
+    return {
+        "training": {"num_epochs": 1, "batch_size": 8, "learning_rate": 0.01,
+                     "momentum": 0.9, "weight_decay": 1e-4, "num_workers": 2,
+                     "save_checkpoint_freq": 10, "device": "auto",
+                     "loss": {"type": "bce_dice", "params": {"bce_weight": 0.5, "dice_weight": 0.5}}},
+        "model": {"name": "DFC-SA-Res-Block", "features": [8, 16, 24, 32], "pool_size": 4},
+        "dataset": {"train_dir": root, "val_dir": root, "img_size": [32, 32], "augmentation": False},
+        "logging": {"log_dir": log_dir, "images_dir": log_dir + "/images",
+                    "save_best_worst_samples": 0},
+    }
+
+
+def test_eight_virtual_devices_present():
+    assert len(jax.devices()) == 8, jax.devices()
+
+
+def test_sharded_train_step_matches_single_device(tmp_path):
+    """One GSPMD-sharded train step == the single-device step (same batch):
+    gradients and BN batch stats are computed globally by construction."""
+    root = generate(str(tmp_path / "d"), n=8, size=32, seed=5)
+    cfg = _config(root, str(tmp_path / "logs"))
+    factory = DataLoaderFactory(cfg, seed=0)
+    loader = factory.get_val_loader()
+    batch = next(iter(loader))
+    assert batch["image"].shape[0] == 8
+
+    model = ModelFactory.get_model(cfg)
+
+    # single-device
+    t1 = Trainer(model, loader, loader, cfg, mesh=None, seed=0)
+    s1 = t1.init_state(batch)
+    s1n, m1 = t1._train_step(s1, jnp.asarray(batch["image"]), jnp.asarray(batch["mask"]))
+
+    # 8-device mesh
+    mesh = data_parallel_mesh()
+    t8 = Trainer(model, loader, loader, cfg, mesh=mesh, seed=0)
+    s8 = t8.init_state(batch)
+    imgs, masks = t8._put_batch(batch)
+    s8n, m8 = t8._train_step(s8, imgs, masks)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), atol=1e-5, rtol=1e-5)
+    # updated params must agree (global grads)
+    l1 = jax.tree.leaves(s1n.params)
+    l8 = jax.tree.leaves(s8n.params)
+    for a, b in zip(l1, l8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
+    # updated BN running stats must agree (global batch statistics)
+    for a, b in zip(jax.tree.leaves(s1n.batch_stats), jax.tree.leaves(s8n.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
+
+
+def test_shard_batch_places_shards():
+    mesh = data_parallel_mesh()
+    x = np.zeros((16, 4), np.float32)
+    sharded = shard_batch({"x": x}, mesh)["x"]
+    assert len(sharded.addressable_shards) == 8
+    assert sharded.addressable_shards[0].data.shape == (2, 4)

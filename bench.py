@@ -5,7 +5,13 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is value / 2000 (the BASELINE.json north-star of >=2,000
 224x224 images/sec/chip on TPU v5e; the reference publishes no numbers).
 
-Flags: --batch N (sweep default), --fp32, --pallas, --steps N, --model NAME
+Timing method: K forward passes are chained inside a single jit via
+lax.scan with a data dependency between iterations, and the wall clock
+includes a scalar device->host fetch.  This is robust to async-dispatch
+runtimes where block_until_ready returns before device completion
+(observed on tunneled backends).
+
+Flags: --batch N (sweep default), --fp32, --pallas, --k N, --model NAME
 """
 
 import argparse
@@ -21,37 +27,34 @@ import jax.numpy as jnp
 BASELINE_IMG_PER_SEC = 2000.0
 
 
-def build(model_name: str, dtype, use_pallas: bool, batch: int, size: int = 224):
+def build_chained(model_name: str, dtype, use_pallas: bool, batch: int, k: int, size: int = 224):
     from dfc_sa_unet_tpu.models.factory import create_model
+    from dfc_sa_unet_tpu.data.loader import normalize_on_device
 
     cfg = {"model": {"name": model_name, "in_channels": 3, "out_channels": 1,
                      "features": [64, 128, 256, 512], "pool_size": 8},
            "dataset": {"img_size": [size, size]}}
     model = create_model(cfg, dtype=dtype, use_pallas=use_pallas)
+    cdtype = dtype or jnp.float32
     x_u8 = jnp.asarray(
         np.random.default_rng(0).integers(0, 256, size=(batch, size, size, 3), dtype=np.uint8)
     )
-    variables = model.init(jax.random.key(0), jnp.zeros((1, size, size, 3), dtype or jnp.float32), train=False)
-
-    from dfc_sa_unet_tpu.data.loader import normalize_on_device
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, size, size, 3), cdtype), train=False
+    )
 
     @jax.jit
-    def forward(variables, x_u8):
-        x = normalize_on_device(x_u8, dtype or jnp.float32)
-        logits = model.apply(variables, x, train=False)
-        return jax.nn.sigmoid(logits.astype(jnp.float32))
+    def chained(variables, x_u8):
+        def body(carry, _):
+            # the tiny carry-dependent perturbation forces sequential execution
+            x = normalize_on_device(x_u8, cdtype) + carry.astype(cdtype) * 1e-30
+            logits = model.apply(variables, x, train=False)
+            return logits.astype(jnp.float32).mean(), ()
 
-    return forward, variables, x_u8
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=k)
+        return c
 
-
-def time_it(forward, variables, x_u8, steps: int) -> float:
-    forward(variables, x_u8).block_until_ready()  # compile
-    forward(variables, x_u8).block_until_ready()  # warm
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        out = forward(variables, x_u8)
-    out.block_until_ready()
-    return (time.perf_counter() - t0) / steps
+    return chained, variables, x_u8
 
 
 def main():
@@ -59,19 +62,24 @@ def main():
     p.add_argument("--batch", type=int, default=None, help="fixed batch (default: sweep)")
     p.add_argument("--fp32", action="store_true")
     p.add_argument("--pallas", action="store_true", help="use the Pallas fused attention kernel")
-    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--k", type=int, default=8, help="chained steps per timing call")
+    p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--model", type=str, default="DFC-SA-Res-Block")
     args = p.parse_args()
 
     dtype = None if args.fp32 else jnp.bfloat16
-    batches = [args.batch] if args.batch else [32, 64, 128]
+    batches = [args.batch] if args.batch else [64, 128]
     best_ips, best_batch = 0.0, 0
     for b in batches:
         try:
-            fwd, variables, x = build(args.model, dtype, args.pallas, b)
-            dt = time_it(fwd, variables, x, args.steps)
+            fn, variables, x = build_chained(args.model, dtype, args.pallas, b, args.k)
+            float(fn(variables, x))  # compile + first run
+            dt = min(
+                (lambda t0: (float(fn(variables, x)), time.perf_counter() - t0)[1])(time.perf_counter())
+                for _ in range(args.repeats)
+            ) / args.k
         except Exception as e:  # OOM etc.
-            print(f"# batch {b} failed: {e}", file=sys.stderr)
+            print(f"# batch {b} failed: {type(e).__name__}: {e}", file=sys.stderr)
             continue
         ips = b / dt
         print(f"# batch {b}: {dt * 1e3:.2f} ms/step -> {ips:.1f} img/s", file=sys.stderr)

@@ -155,6 +155,7 @@ class _Attention(nn.Module):
         b, n, e = x.shape
         nh = self.num_heads
         hd = e // nh
+        dtype = self.dtype or x.dtype
 
         def heads(t):
             return t.reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
@@ -164,13 +165,13 @@ class _Attention(nn.Module):
         v = heads(Dense(e, name="value", dtype=self.dtype)(x))
         scores = jnp.einsum(
             "bhnd,bhmd->bhnm", q, k,
-            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32, precision=None if dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST,
         ) / np.sqrt(hd)
         attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
         attn = nn.Dropout(self.attn_dropout)(attn, deterministic=not train)
         out = jnp.einsum(
             "bhnm,bhmd->bhnd", attn, v,
-            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32, precision=None if dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST,
         ).astype(q.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, e)
         out = Dense(e, name="out", dtype=self.dtype)(out)

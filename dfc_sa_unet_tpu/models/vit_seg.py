@@ -74,7 +74,7 @@ class TorchMultiheadAttention(nn.Module):
         qkv = (
             jnp.einsum(
                 "bne,ef->bnf", x.astype(dtype), in_w.astype(dtype),
-                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32, precision=None if dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST,
             )
             + in_b
         )
@@ -86,13 +86,13 @@ class TorchMultiheadAttention(nn.Module):
         q, k, v = heads(q), heads(k), heads(v)
         scores = jnp.einsum(
             "bhnd,bhmd->bhnm", q, k,
-            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32, precision=None if dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST,
         ) / np.sqrt(hd)
         attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dtype)
         attn = nn.Dropout(self.dropout)(attn, deterministic=not train)
         out = jnp.einsum(
             "bhnm,bhmd->bhnd", attn, v,
-            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32, precision=None if dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST,
         ).astype(dtype)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, e)
         return Dense(e, name="out_proj", dtype=self.dtype)(out)

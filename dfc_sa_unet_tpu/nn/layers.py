@@ -47,6 +47,11 @@ def torch_bias_init(fan_in: int):
     return init
 
 
+def _prec(dtype):
+    """HIGHEST for f32 (exact torch parity); default for bf16 (fast MXU)."""
+    return None if dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+
+
 def _pair(v):
     return (v, v) if isinstance(v, int) else tuple(v)
 
@@ -88,7 +93,7 @@ class Conv(nn.Module):
             padding=((ph, ph), (pw, pw)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=self.groups,
-            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32, precision=_prec(dtype),
         )
         if bias is not None:
             y = y + bias
@@ -132,7 +137,7 @@ class WSConv(nn.Module):
             window_strides=(sh, sw),
             padding=((ph, ph), (pw, pw)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32, precision=_prec(dtype),
         )
         if bias is not None:
             y = y + bias
@@ -210,7 +215,7 @@ class ConvTranspose(nn.Module):
             padding=((kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)),
             lhs_dilation=(sh, sw),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32, precision=_prec(dtype),
         )
         if bias is not None:
             y = y + bias

@@ -22,9 +22,10 @@ def _attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
     out_i = sum_j softmax_j(q_i . k_j) v_j  — matching the reference's
     torch.bmm(V, attention^T) with attention = softmax(Q K^T, dim=-1).
     """
-    energy = jnp.einsum("bnc,bmc->bnm", q, k, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    prec = None if q.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+    energy = jnp.einsum("bnc,bmc->bnm", q, k, preferred_element_type=jnp.float32, precision=prec)
     attn = jax.nn.softmax(energy.astype(jnp.float32), axis=-1)
-    out = jnp.einsum("bnm,bmc->bnc", attn.astype(v.dtype), v, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    out = jnp.einsum("bnm,bmc->bnc", attn.astype(v.dtype), v, preferred_element_type=jnp.float32, precision=prec)
     return out.astype(v.dtype)
 
 

@@ -44,10 +44,12 @@ def adaptive_avg_pool(x: jnp.ndarray, output_size) -> jnp.ndarray:
     if (h, w) == (p_h, p_w):
         return x
     orig_dtype = x.dtype
-    ah = adaptive_pool_matrix(h, p_h)
-    aw = adaptive_pool_matrix(w, p_w)
-    y = jnp.einsum("ph,bhwc->bpwc", ah, x, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-    y = jnp.einsum("qw,bpwc->bpqc", aw, y, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    bf16 = orig_dtype == jnp.bfloat16
+    prec = None if bf16 else jax.lax.Precision.HIGHEST
+    ah = adaptive_pool_matrix(h, p_h).astype(orig_dtype if bf16 else jnp.float32)
+    aw = adaptive_pool_matrix(w, p_w).astype(orig_dtype if bf16 else jnp.float32)
+    y = jnp.einsum("ph,bhwc->bpwc", ah, x, preferred_element_type=jnp.float32, precision=prec)
+    y = jnp.einsum("qw,bpwc->bpqc", aw, y, preferred_element_type=jnp.float32, precision=prec)
     return y.astype(orig_dtype)
 
 

@@ -68,9 +68,13 @@ def resize_bilinear(x: jnp.ndarray, size, align_corners: bool = False) -> jnp.nd
     if (h_in, w_in) == (h_out, w_out):
         return x
     orig_dtype = x.dtype
-    wh = bilinear_matrix(h_in, h_out, align_corners)
-    ww = bilinear_matrix(w_in, w_out, align_corners)
+    # In bf16 compute mode keep everything bf16 (fast MXU path); in f32
+    # (parity) mode use HIGHEST so results match torch bit-for-bit.
+    bf16 = orig_dtype == jnp.bfloat16
+    prec = None if bf16 else jax.lax.Precision.HIGHEST
+    wh = bilinear_matrix(h_in, h_out, align_corners).astype(orig_dtype if bf16 else jnp.float32)
+    ww = bilinear_matrix(w_in, w_out, align_corners).astype(orig_dtype if bf16 else jnp.float32)
     # Contract H then W, accumulating in f32 on the MXU.
-    y = jnp.einsum("oh,bhwc->bowc", wh, x, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-    y = jnp.einsum("pw,bowc->bopc", ww, y, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    y = jnp.einsum("oh,bhwc->bowc", wh, x, preferred_element_type=jnp.float32, precision=prec)
+    y = jnp.einsum("pw,bowc->bopc", ww, y, preferred_element_type=jnp.float32, precision=prec)
     return y.astype(orig_dtype)

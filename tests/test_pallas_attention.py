@@ -1,0 +1,35 @@
+"""Pallas fused attention vs the lax reference path (interpreter on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from dfc_sa_unet_tpu.ops.attention import pooled_self_attention
+from dfc_sa_unet_tpu.ops.pallas_attention import fused_pooled_attention
+
+
+@pytest.mark.parametrize("p,cq,c", [(8, 8, 64), (4, 16, 128), (16, 8, 64)])
+def test_fused_matches_lax(p, cq, c):
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((2, p, p, cq)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, p, p, cq)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, p, p, c)), jnp.float32)
+    got = np.asarray(fused_pooled_attention(q, k, v))
+    want = np.asarray(pooled_self_attention(q, k, v))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_model_with_pallas_flag_matches():
+    """UNetDFCSARes(use_pallas=True) must equal the lax path."""
+    import jax
+    from dfc_sa_unet_tpu.models.factory import create_model
+
+    cfg = {"model": {"name": "DFC-SA-Res-Block", "features": [8, 16, 24, 32], "pool_size": 4}}
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((1, 32, 32, 3)), jnp.float32)
+    m_lax = create_model(cfg)
+    variables = m_lax.init(jax.random.key(0), x, train=False)
+    m_pl = create_model(cfg, use_pallas=True)
+    y_lax = m_lax.apply(variables, x, train=False)
+    y_pl = m_pl.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_lax), atol=1e-4, rtol=1e-3)

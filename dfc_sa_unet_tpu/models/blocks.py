@@ -60,6 +60,41 @@ class LightSelfAttention(nn.Module):
         return y.astype(x.dtype)
 
 
+class SplitConv1x1(nn.Module):
+    """1x1 conv over a *virtual concat* of inputs, without materializing it.
+
+    Parameter layout is identical to ``Conv(features, 1)`` applied to the
+    concatenation (kernel [1, 1, sum(Ci), F]) so checkpoints and the torch
+    converter are unaffected; the kernel is sliced per input and applied
+    as summed matmuls.  Saves writing+reading the 2C/3C concat feature
+    maps in every DFC block — the dominant HBM traffic at high resolution.
+    """
+
+    features: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, xs):
+        from dfc_sa_unet_tpu.nn.layers import conv_kernel_init, torch_bias_init, _prec
+
+        cin = sum(x.shape[-1] for x in xs)
+        kernel = self.param("kernel", conv_kernel_init, (1, 1, cin, self.features), jnp.float32)
+        bias = self.param("bias", torch_bias_init(cin), (self.features,), jnp.float32)
+        dtype = self.dtype or xs[0].dtype
+        k = kernel[0, 0]
+        out = None
+        off = 0
+        for x in xs:
+            c = x.shape[-1]
+            part = jnp.einsum(
+                "bhwc,cf->bhwf", x.astype(dtype), k[off : off + c].astype(dtype),
+                preferred_element_type=jnp.float32, precision=_prec(dtype),
+            )
+            out = part if out is None else out + part
+            off += c
+        return (out + bias).astype(dtype)
+
+
 def _conv_bn_relu(mdl_prefix: str, features: int, kernel: int, dtype):
     """conv(k)+BN+ReLU triple named `<prefix>_0`/`<prefix>_1` like the
     reference's nn.Sequential indices."""
@@ -122,13 +157,13 @@ class DFCBlock(nn.Module, _ResidualMixin):
             name="attn_branch_3",
             dtype=self.dtype,
         )(a)
-        combined = jnp.concatenate([local, a], axis=-1)
-        g = Conv(f, 1, name="gate_0", dtype=self.dtype)(combined)
+        g = SplitConv1x1(f, name="gate_0", dtype=self.dtype)([local, a])
         g = BatchNorm(name="gate_1")(g, train)
         g = nn.sigmoid(g)
         fused = g * local + (1.0 - g) * a
-        out = jnp.concatenate([fused, local, a], axis=-1)
-        out = _conv_bn_relu("fusion_conv", f, 1, self.dtype)(out, train)
+        out = SplitConv1x1(f, name="fusion_conv_0", dtype=self.dtype)([fused, local, a])
+        out = BatchNorm(name="fusion_conv_1")(out, train)
+        out = nn.relu(out)
         res, res_scale = self._residual(x, f, self.dtype)
         return (out.astype(jnp.float32) + res_scale * res.astype(jnp.float32)).astype(out.dtype)
 
@@ -209,8 +244,9 @@ class ConcatFusionBlock(nn.Module, _ResidualMixin):
             pool_size=self.pool_size, qk_div=8, use_pallas=self.use_pallas,
             name="attn_branch_3", dtype=self.dtype,
         )(a)
-        fused = jnp.concatenate([local, a], axis=-1)
-        fused = _conv_bn_relu("fusion_conv", f, 1, self.dtype)(fused, train)
+        fused = SplitConv1x1(f, name="fusion_conv_0", dtype=self.dtype)([local, a])
+        fused = BatchNorm(name="fusion_conv_1")(fused, train)
+        fused = nn.relu(fused)
         res, res_scale = self._residual(x, f, self.dtype)
         return (fused.astype(jnp.float32) + res_scale * res.astype(jnp.float32)).astype(fused.dtype)
 

@@ -1,0 +1,62 @@
+"""Config loading/overrides and driver entry points."""
+
+import os
+import sys
+
+import pytest
+import yaml
+
+import jax
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_load_config_and_overrides(tmp_path):
+    from dfc_sa_unet_tpu.config import apply_overrides, load_config
+
+    cfg_path = tmp_path / "c.yaml"
+    cfg_path.write_text(
+        yaml.safe_dump({
+            "training": {"num_epochs": 1, "batch_size": 2,
+                         "loss": {"type": "bce_dice", "params": {"bce_weight": 0.5}}},
+            "model": {"name": "UNet"},
+            "dataset": {"train_dir": "a", "val_dir": "b", "img_size": [64, 64], "augmentation": True},
+            "logging": {"log_dir": "l", "images_dir": "i"},
+        })
+    )
+    cfg = load_config(str(cfg_path))
+    cfg = apply_overrides(cfg, loss="tversky", alpha=0.7, augmentation=False)
+    assert cfg["training"]["loss"]["type"] == "tversky"
+    assert cfg["training"]["loss"]["params"]["alpha"] == 0.7
+    assert cfg["dataset"]["augmentation"] is False
+
+
+def test_load_config_missing_section(tmp_path):
+    from dfc_sa_unet_tpu.config import load_config
+
+    p = tmp_path / "bad.yaml"
+    p.write_text(yaml.safe_dump({"training": {}, "model": {"name": "UNet"}}))
+    with pytest.raises(ValueError, match="missing sections"):
+        load_config(str(p))
+
+
+def test_all_shipped_configs_parse_and_build():
+    """Every configs/*.yaml must load and resolve to a model."""
+    from dfc_sa_unet_tpu.config import load_config
+    from dfc_sa_unet_tpu.models.factory import create_model
+
+    cfg_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "configs")
+    files = sorted(f for f in os.listdir(cfg_dir) if f.endswith(".yaml"))
+    assert len(files) == 15
+    for f in files:
+        cfg = load_config(os.path.join(cfg_dir, f))
+        model = create_model(cfg)
+        assert model is not None, f
+
+
+def test_graft_entry_compiles():
+    import __graft_entry__ as g
+
+    fn, (variables, x) = g.entry()
+    lowered = jax.jit(fn).lower(variables, x)
+    assert lowered is not None  # traces + lowers without error

@@ -66,8 +66,13 @@ class SplitConv1x1(nn.Module):
     Parameter layout is identical to ``Conv(features, 1)`` applied to the
     concatenation (kernel [1, 1, sum(Ci), F]) so checkpoints and the torch
     converter are unaffected; the kernel is sliced per input and applied
-    as summed matmuls.  Saves writing+reading the 2C/3C concat feature
-    maps in every DFC block — the dominant HBM traffic at high resolution.
+    as summed matmuls.
+
+    NOTE: measured SLOWER than concat+conv on TPU v5e for the DFC blocks
+    (684 vs 869 img/s at batch 128) — splitting shrinks the contraction
+    dimension below what the MXU wants, and XLA already handles the
+    concat efficiently.  Kept for narrow-K experiments; not used by the
+    model zoo.
     """
 
     features: int
@@ -157,13 +162,13 @@ class DFCBlock(nn.Module, _ResidualMixin):
             name="attn_branch_3",
             dtype=self.dtype,
         )(a)
-        g = SplitConv1x1(f, name="gate_0", dtype=self.dtype)([local, a])
+        combined = jnp.concatenate([local, a], axis=-1)
+        g = Conv(f, 1, name="gate_0", dtype=self.dtype)(combined)
         g = BatchNorm(name="gate_1")(g, train)
         g = nn.sigmoid(g)
         fused = g * local + (1.0 - g) * a
-        out = SplitConv1x1(f, name="fusion_conv_0", dtype=self.dtype)([fused, local, a])
-        out = BatchNorm(name="fusion_conv_1")(out, train)
-        out = nn.relu(out)
+        out = jnp.concatenate([fused, local, a], axis=-1)
+        out = _conv_bn_relu("fusion_conv", f, 1, self.dtype)(out, train)
         res, res_scale = self._residual(x, f, self.dtype)
         return (out.astype(jnp.float32) + res_scale * res.astype(jnp.float32)).astype(out.dtype)
 
@@ -244,9 +249,8 @@ class ConcatFusionBlock(nn.Module, _ResidualMixin):
             pool_size=self.pool_size, qk_div=8, use_pallas=self.use_pallas,
             name="attn_branch_3", dtype=self.dtype,
         )(a)
-        fused = SplitConv1x1(f, name="fusion_conv_0", dtype=self.dtype)([local, a])
-        fused = BatchNorm(name="fusion_conv_1")(fused, train)
-        fused = nn.relu(fused)
+        fused = jnp.concatenate([local, a], axis=-1)
+        fused = _conv_bn_relu("fusion_conv", f, 1, self.dtype)(fused, train)
         res, res_scale = self._residual(x, f, self.dtype)
         return (fused.astype(jnp.float32) + res_scale * res.astype(jnp.float32)).astype(fused.dtype)
 

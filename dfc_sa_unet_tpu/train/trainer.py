@@ -22,6 +22,8 @@ TPU-first differences (documented, not semantic):
 """
 
 import os
+import signal
+import threading
 import time
 from functools import partial
 from typing import Any, Mapping, Optional
@@ -40,6 +42,7 @@ from dfc_sa_unet_tpu.losses import compute_loss
 from dfc_sa_unet_tpu.metrics import hard_dice_iou, per_sample_hard_dice_iou
 from dfc_sa_unet_tpu.train import optim
 from dfc_sa_unet_tpu.utils import checkpoint as ckpt_util
+from dfc_sa_unet_tpu.utils.profiling import StepTimer
 from dfc_sa_unet_tpu.utils.visualization import (
     save_loss_plot,
     save_metrics_plot,
@@ -101,6 +104,9 @@ class Trainer:
         self.best_val_loss = float("inf")
         self.start_epoch = 0
         self.start_time = time.time()
+        # Preemption safety: SIGTERM/SIGINT request a checkpoint + clean stop
+        # (TPU VMs are preemptible; the reference has no recovery story).
+        self._stop_requested = threading.Event()
 
         self._train_step = jax.jit(partial(self._step_impl, train=True))
         self._eval_step = jax.jit(partial(self._step_impl, train=False))
@@ -199,10 +205,13 @@ class Trainer:
         self.train_loader.set_epoch(epoch)
         sums = {"loss": 0.0, "iou": 0.0, "dice": 0.0}
         n_used = 0
+        timer = StepTimer()
+        timer.tick()
         for batch in self.train_loader:
             imgs, masks = self._put_batch(batch)
             state, metrics = self._train_step(state, imgs, masks)
             loss = float(metrics["loss"])
+            timer.tick(items=int(imgs.shape[0]))
             if not np.isfinite(loss):
                 print(f"Warning: NaN loss detected at step {int(state.step)}; batch skipped")
                 continue
@@ -212,6 +221,10 @@ class Trainer:
             sums["iou"] += float(metrics["iou"])
             sums["dice"] += float(metrics["dice"])
             n_used += 1
+            if self._stop_requested.is_set():
+                break
+        if timer.steps:
+            print(f"  [epoch {epoch + 1}] {timer.summary()}")
         n = max(n_used, 1)
         return state, (sums["loss"] / n, sums["iou"] / n, sums["dice"] / n)
 
@@ -318,15 +331,32 @@ class Trainer:
             mask = (mask_u8 >= 128).astype(np.float32)[..., None]
             save_prediction_samples(img_norm, probs, mask, [fname], out_dir)
 
+    def _install_preemption_handler(self):
+        if threading.current_thread() is not threading.main_thread():
+            return
+        def handler(signum, frame):
+            print(f"Signal {signum} received — will checkpoint and stop at the epoch boundary")
+            self._stop_requested.set()
+        try:
+            signal.signal(signal.SIGTERM, handler)
+            signal.signal(signal.SIGINT, handler)
+        except ValueError:
+            pass
+
     def train(self, resume_from: Optional[str] = None, state: Optional[TrainState] = None):
         first_batch = next(iter(self.val_loader))
         if state is None:
             state = self.init_state(first_batch)
         if resume_from:
             state = self.load_checkpoint(resume_from, state)
+        self._install_preemption_handler()
 
         print(f"Using loss: {self.loss_type} params={self.loss_params}")
         for epoch in range(self.start_epoch, self.num_epochs):
+            if self._stop_requested.is_set():
+                self.save_checkpoint(state, epoch - 1)
+                print(f"Preemption checkpoint saved at epoch {epoch}; exiting")
+                break
             state, (tr_loss, tr_iou, tr_dice) = self.train_epoch(state, epoch)
             val = self.validate_epoch(state)
 

@@ -9,5 +9,27 @@ Families (reference models/model_factory.py:94-186):
 """
 
 from dfc_sa_unet_tpu.models.factory import ModelFactory, create_model
+from dfc_sa_unet_tpu.models.blocks import (
+    DFCBlock,
+    LightSelfAttention,
+    LocalOnlyBlock,
+    AttentionOnlyBlock,
+    AdditionFusionBlock,
+    ConcatFusionBlock,
+)
+from dfc_sa_unet_tpu.models.dfc_sa import UNetDFCSA, UNetDFCSARes
+from dfc_sa_unet_tpu.models.unet import UNet
 
-__all__ = ["ModelFactory", "create_model"]
+__all__ = [
+    "ModelFactory",
+    "create_model",
+    "DFCBlock",
+    "LightSelfAttention",
+    "LocalOnlyBlock",
+    "AttentionOnlyBlock",
+    "AdditionFusionBlock",
+    "ConcatFusionBlock",
+    "UNetDFCSA",
+    "UNetDFCSARes",
+    "UNet",
+]

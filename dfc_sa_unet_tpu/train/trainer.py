@@ -207,7 +207,13 @@ class Trainer:
         n_used = 0
         timer = StepTimer()
         timer.tick()
-        for batch in self.train_loader:
+        from tqdm import tqdm
+
+        progress = tqdm(
+            self.train_loader, total=len(self.train_loader),
+            desc=f"Epoch {epoch + 1}/{self.num_epochs} [Train]", leave=False,
+        )
+        for batch in progress:
             imgs, masks = self._put_batch(batch)
             state, metrics = self._train_step(state, imgs, masks)
             loss = float(metrics["loss"])
@@ -221,8 +227,12 @@ class Trainer:
             sums["iou"] += float(metrics["iou"])
             sums["dice"] += float(metrics["dice"])
             n_used += 1
+            progress.set_postfix(
+                loss=sums["loss"] / n_used, iou=sums["iou"] / n_used, dice=sums["dice"] / n_used
+            )
             if self._stop_requested.is_set():
                 break
+        progress.close()
         if timer.steps:
             print(f"  [epoch {epoch + 1}] {timer.summary()}")
         n = max(n_used, 1)

@@ -15,6 +15,8 @@ Parity notes (verified in tests/test_layers.py):
 Layout: NHWC activations, HWIO conv kernels (TPU-native).
 """
 
+import contextlib
+import contextvars
 from typing import Any, Optional, Sequence, Union
 
 import jax
@@ -25,6 +27,23 @@ from flax import linen as nn
 from dfc_sa_unet_tpu.ops.convt import conv_transpose_2x2
 
 Dtype = Any
+
+# Cross-replica axis for BatchNorm under shard_map.  Under GSPMD data
+# parallelism this stays None (jnp.mean over the sharded batch already
+# compiles to a global reduction); an explicit shard_map step sets it so
+# BN emits lax.pmean over the named axis.
+_BN_AXIS: contextvars.ContextVar = contextvars.ContextVar("bn_cross_replica_axis", default=None)
+
+
+@contextlib.contextmanager
+def bn_cross_replica_axis(axis_name: Optional[str]):
+    """Make every BatchNorm traced inside this context sync batch
+    statistics over ``axis_name`` (for shard_map-style SPMD)."""
+    token = _BN_AXIS.set(axis_name)
+    try:
+        yield
+    finally:
+        _BN_AXIS.reset(token)
 
 
 def conv_kernel_init(key, shape, dtype=jnp.float32):
@@ -245,10 +264,11 @@ class BatchNorm(nn.Module):
             mean = jnp.mean(xf, axis=reduce_axes)
             mean2 = jnp.mean(jnp.square(xf), axis=reduce_axes)
             n = int(np.prod([x.shape[a] for a in reduce_axes]))
-            if self.axis_name is not None:
-                mean = jax.lax.pmean(mean, self.axis_name)
-                mean2 = jax.lax.pmean(mean2, self.axis_name)
-                n = n * jax.lax.psum(1, self.axis_name)
+            axis_name = self.axis_name or _BN_AXIS.get()
+            if axis_name is not None:
+                mean = jax.lax.pmean(mean, axis_name)
+                mean2 = jax.lax.pmean(mean2, axis_name)
+                n = n * jax.lax.psum(1, axis_name)
             var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 unbiased = var * (n / max(n - 1, 1))

@@ -71,3 +71,42 @@ def test_shard_batch_places_shards():
     sharded = shard_batch({"x": x}, mesh)["x"]
     assert len(sharded.addressable_shards) == 8
     assert sharded.addressable_shards[0].data.shape == (2, 4)
+
+
+def test_explicit_spmd_step_matches_gspmd(tmp_path):
+    """The shard_map step with hand-placed psums must equal the GSPMD step
+    (and hence the single-device step) exactly."""
+    import jax.numpy as jnp
+    from dfc_sa_unet_tpu.parallel.spmd import make_spmd_train_step
+    from dfc_sa_unet_tpu.train import optim
+
+    root = generate(str(tmp_path / "d"), n=8, size=32, seed=9)
+    cfg = _config(root, str(tmp_path / "logs"))
+    factory = DataLoaderFactory(cfg, seed=0)
+    loader = factory.get_val_loader()
+    batch = next(iter(loader))
+
+    model = ModelFactory.get_model(cfg)
+    mesh = data_parallel_mesh()
+
+    # GSPMD path
+    tg = Trainer(model, loader, loader, cfg, mesh=mesh, seed=0)
+    sg = tg.init_state(batch)
+    imgs, masks = tg._put_batch(batch)
+    sgn, mg = tg._train_step(sg, imgs, masks)
+
+    # explicit shard_map path, same initial state
+    tx = optim.from_config(cfg)
+    step = make_spmd_train_step(
+        model, tx, mesh,
+        loss_type=cfg["training"]["loss"]["type"],
+        loss_params=cfg["training"]["loss"]["params"],
+    )
+    ssn, ms = step(sg, imgs, masks)
+
+    np.testing.assert_allclose(float(mg["loss"]), float(ms["loss"]), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(float(mg["dice"]), float(ms["dice"]), atol=1e-5)
+    for a, b in zip(jax.tree.leaves(sgn.params), jax.tree.leaves(ssn.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(sgn.batch_stats), jax.tree.leaves(ssn.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)

@@ -27,7 +27,10 @@ import jax.numpy as jnp
 BASELINE_IMG_PER_SEC = 2000.0
 
 
-def build_chained(model_name: str, dtype, use_pallas: bool, batch: int, k: int, size: int = 224):
+def build_chained(
+    model_name: str, dtype, use_pallas: bool, batch: int, k: int, size: int = 224,
+    engine: bool = False,
+):
     from dfc_sa_unet_tpu.models.factory import create_model
     from dfc_sa_unet_tpu.data.loader import normalize_on_device
 
@@ -43,12 +46,25 @@ def build_chained(model_name: str, dtype, use_pallas: bool, batch: int, k: int, 
         jax.random.key(0), jnp.zeros((1, size, size, 3), cdtype), train=False
     )
 
+    if engine:
+        from dfc_sa_unet_tpu.infer.engine import DFCEngine
+
+        eng = DFCEngine(cfg, variables, dtype=cdtype, use_pallas=use_pallas)
+
+        def apply_fn(_, x):
+            return eng._forward(x)
+
+        variables = {}
+    else:
+        def apply_fn(variables, x):
+            return model.apply(variables, x, train=False)
+
     @jax.jit
     def chained(variables, x_u8):
         def body(carry, _):
             # the tiny carry-dependent perturbation forces sequential execution
             x = normalize_on_device(x_u8, cdtype) + carry.astype(cdtype) * 1e-30
-            logits = model.apply(variables, x, train=False)
+            logits = apply_fn(variables, x)
             return logits.astype(jnp.float32).mean(), ()
 
         c, _ = jax.lax.scan(body, jnp.float32(0), None, length=k)
@@ -62,6 +78,8 @@ def main():
     p.add_argument("--batch", type=int, default=None, help="fixed batch (default: sweep)")
     p.add_argument("--fp32", action="store_true")
     p.add_argument("--pallas", action="store_true", help="use the Pallas fused attention kernel")
+    p.add_argument("--engine", action="store_true",
+                   help="use the folded+fused inference engine (DFC-SA only)")
     p.add_argument("--k", type=int, default=8, help="chained steps per timing call")
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--model", type=str, default="DFC-SA-Res-Block")
@@ -74,7 +92,9 @@ def main():
     best_ips, best_batch = 0.0, 0
     for b in batches:
         try:
-            fn, variables, x = build_chained(args.model, dtype, args.pallas, b, args.k)
+            fn, variables, x = build_chained(
+                args.model, dtype, args.pallas, b, args.k, engine=args.engine
+            )
             float(fn(variables, x))  # compile + first run
             dt = min(
                 (lambda t0: (float(fn(variables, x)), time.perf_counter() - t0)[1])(time.perf_counter())
@@ -90,7 +110,9 @@ def main():
 
     print(json.dumps({
         "metric": f"{args.model} 224x224 inference images/sec/chip"
-                  + (" (bf16)" if dtype else " (f32)") + (" (pallas)" if args.pallas else ""),
+                  + (" (bf16)" if dtype else " (f32)")
+                  + (" (pallas)" if args.pallas else "")
+                  + (" (engine)" if args.engine else ""),
         "value": round(best_ips, 1),
         "unit": "images/sec",
         "vs_baseline": round(best_ips / BASELINE_IMG_PER_SEC, 4),

@@ -1,0 +1,218 @@
+"""Inference engine: a compiled fast path for the DFC-SA U-Net family.
+
+Takes (config, trained variables) and builds a jitted forward that is
+numerically equivalent to ``model.apply(..., train=False)`` but optimized
+for serving:
+
+  * every Conv+BatchNorm pair is folded into a single conv (eval-mode BN
+    is an affine per out-channel: W' = W*a, b' = (b-mean)*a + beta),
+  * the DFC tail (gate -> dynamic fusion -> fusion conv -> scaled
+    residual) runs as one Pallas kernel per block (ops/pallas_dfc_tail),
+    eliminating the HBM round trips of its bandwidth-bound 1x1 chain,
+  * adaptive average pooling uses a reshape-mean reduction when the input
+    divides evenly (always true on the 224 track) instead of a skinny
+    K=p matmul,
+  * activations stay in the compute dtype end to end.
+
+Supported: 'DFC-SA-Res-Block' (UNetDFCSA/UNetDFCSARes).  Other models
+fall back to the regular module apply (Predictor handles this).
+"""
+
+from functools import partial
+from typing import Any, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dfc_sa_unet_tpu.ops.attention import pooled_self_attention
+from dfc_sa_unet_tpu.ops.convt import conv_transpose_2x2
+from dfc_sa_unet_tpu.ops.pallas_dfc_tail import _ROW_BLOCK, fused_dfc_tail
+from dfc_sa_unet_tpu.ops.pooling import adaptive_avg_pool, max_pool
+from dfc_sa_unet_tpu.ops.resize import resize_bilinear
+
+
+def fold_conv_bn(kernel, bias, bn_params, bn_stats, eps: float = 1e-5):
+    """Fold eval-mode BatchNorm into the preceding conv's weights."""
+    a = bn_params["scale"] / jnp.sqrt(bn_stats["var"] + eps)
+    k = kernel * a  # broadcasts over the trailing (out-channel) dim
+    b = ((bias if bias is not None else 0.0) - bn_stats["mean"]) * a + bn_params["bias"]
+    return k, b
+
+
+def _conv(x, kernel, bias, padding):
+    y = jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), (1, 1), ((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), preferred_element_type=jnp.float32,
+    )
+    return (y + bias).astype(x.dtype)
+
+
+def _avg_pool_reshape(x, p):
+    """Exact adaptive pool for the evenly-divisible case: window mean."""
+    b, h, w, c = x.shape
+    xf = x.astype(jnp.float32)
+    y = xf.reshape(b, p, h // p, w, c).mean(axis=2)
+    y = y.reshape(b, p, p, w // p, c).mean(axis=3)
+    return y.astype(x.dtype)
+
+
+class DFCEngine:
+    """Compiled inference for UNetDFCSA(Res).  Call with normalized NHWC
+    activations (same contract as model.apply)."""
+
+    def __init__(
+        self,
+        config: Mapping[str, Any],
+        variables: Mapping[str, Any],
+        dtype=jnp.bfloat16,
+        use_pallas: bool = True,
+        pallas_max_channels: int = 512,
+    ):
+        m = config["model"]
+        assert m["name"] == "DFC-SA-Res-Block", m["name"]
+        self.features = list(m.get("features", [64, 128, 256, 512]))
+        self.pool_size = m.get("pool_size", 8)
+        self.dtype = dtype
+        self.use_pallas = use_pallas
+        self.pallas_max_channels = pallas_max_channels
+        self.interpret = jax.default_backend() not in ("tpu", "axon")
+        self.blocks = {}
+        params = variables["params"]
+        stats = variables.get("batch_stats", {})
+        block_names = [f"down{i}" for i in range(1, 5)] + ["bottleneck"] + [
+            f"up_conv{i}" for i in range(4, 0, -1)
+        ]
+        for name in block_names:
+            self.blocks[name] = self._fold_block(params[name], stats.get(name, {}))
+        self.ups = {
+            f"up{i}": (
+                jnp.asarray(params[f"up{i}"]["kernel_t"], dtype),
+                jnp.asarray(params[f"up{i}"]["bias"], jnp.float32),
+            )
+            for i in range(1, 5)
+        }
+        self.final = (
+            jnp.asarray(params["final_conv"]["kernel"], dtype),
+            jnp.asarray(params["final_conv"]["bias"], jnp.float32),
+        )
+        self._forward = jax.jit(self._build_forward())
+
+    # ------------------------------------------------------------- folding
+
+    def _fold_block(self, p, s):
+        d = {}
+        kc, bc = fold_conv_bn(p["conv_branch_0"]["kernel"], p["conv_branch_0"]["bias"],
+                              p["conv_branch_1"], s["conv_branch_1"])
+        ka, ba = fold_conv_bn(p["attn_branch_0"]["kernel"], p["attn_branch_0"]["bias"],
+                              p["attn_branch_1"], s["attn_branch_1"])
+        kg, bg = fold_conv_bn(p["gate_0"]["kernel"], p["gate_0"]["bias"],
+                              p["gate_1"], s["gate_1"])
+        kf, bf = fold_conv_bn(p["fusion_conv_0"]["kernel"], p["fusion_conv_0"]["bias"],
+                              p["fusion_conv_1"], s["fusion_conv_1"])
+        d["conv"] = (jnp.asarray(kc, self.dtype), jnp.asarray(bc, jnp.float32))
+        d["attn0"] = (jnp.asarray(ka, self.dtype), jnp.asarray(ba, jnp.float32))
+        # tail weights as [K, C] matmul operands (1x1 kernels squeezed)
+        d["wg"] = jnp.asarray(kg[0, 0], self.dtype)
+        d["bg"] = jnp.asarray(bg, jnp.float32)
+        d["wf"] = jnp.asarray(kf[0, 0], self.dtype)
+        d["bf"] = jnp.asarray(bf, jnp.float32)
+        res_scale = jnp.asarray(p["res_scale"], jnp.float32)
+        if "residual_conv" in p:
+            d["wr"] = jnp.asarray(p["residual_conv"]["kernel"][0, 0] * res_scale, self.dtype)
+        else:
+            d["wr"] = None
+            d["res_scale"] = res_scale
+        lsa = p["attn_branch_3"]
+        d["lsa"] = {
+            "q": (jnp.asarray(lsa["query_conv"]["kernel"][0, 0], self.dtype),
+                  jnp.asarray(lsa["query_conv"]["bias"], jnp.float32)),
+            "k": (jnp.asarray(lsa["key_conv"]["kernel"][0, 0], self.dtype),
+                  jnp.asarray(lsa["key_conv"]["bias"], jnp.float32)),
+            "v": (jnp.asarray(lsa["value_conv"]["kernel"][0, 0], self.dtype),
+                  jnp.asarray(lsa["value_conv"]["bias"], jnp.float32)),
+            "gamma": jnp.asarray(lsa["gamma"], jnp.float32),
+        }
+        return d
+
+    # ------------------------------------------------------------- forward
+
+    def _lsa(self, d, a):
+        b, h, w, c = a.shape
+        p = self.pool_size
+        if h % p == 0 and w % p == 0:
+            pooled = _avg_pool_reshape(a, p)
+        else:
+            pooled = adaptive_avg_pool(a, (p, p))
+
+        def proj(t, wb):
+            wk, bias = wb
+            y = jnp.einsum("bhwc,cf->bhwf", t, wk, preferred_element_type=jnp.float32)
+            return (y + bias).astype(t.dtype)
+
+        q = proj(pooled, d["q"])
+        k = proj(pooled, d["k"])
+        v = proj(pooled, d["v"])
+        o = pooled_self_attention(q, k, v)
+        o = resize_bilinear(o, (h, w), align_corners=False)
+        return (d["gamma"] * o.astype(jnp.float32) + a.astype(jnp.float32)).astype(a.dtype)
+
+    def _tail_lax(self, d, local, a, x):
+        c = local.shape[-1]
+        g = jnp.einsum("bhwc,cf->bhwf", local, d["wg"][:c], preferred_element_type=jnp.float32)
+        g = g + jnp.einsum("bhwc,cf->bhwf", a, d["wg"][c:], preferred_element_type=jnp.float32)
+        g = jax.nn.sigmoid(g + d["bg"])
+        lf, af = local.astype(jnp.float32), a.astype(jnp.float32)
+        fused = (g * lf + (1.0 - g) * af).astype(local.dtype)
+        o = jnp.einsum("bhwc,cf->bhwf", fused, d["wf"][:c], preferred_element_type=jnp.float32)
+        o = o + jnp.einsum("bhwc,cf->bhwf", local, d["wf"][c : 2 * c], preferred_element_type=jnp.float32)
+        o = o + jnp.einsum("bhwc,cf->bhwf", a, d["wf"][2 * c :], preferred_element_type=jnp.float32)
+        o = jnp.maximum(o + d["bf"], 0.0)
+        if d["wr"] is not None:
+            o = o + jnp.einsum("bhwc,cf->bhwf", x, d["wr"], preferred_element_type=jnp.float32)
+        else:
+            o = o + d["res_scale"] * x.astype(jnp.float32)
+        return o.astype(local.dtype)
+
+    def _block(self, name, x):
+        d = self.blocks[name]
+        local = jnp.maximum(_conv(x, *d["conv"], padding=1).astype(jnp.float32), 0.0).astype(x.dtype)
+        a = jnp.maximum(_conv(x, *d["attn0"], padding=0).astype(jnp.float32), 0.0).astype(x.dtype)
+        a = self._lsa(d["lsa"], a)
+        h, _, c = local.shape[1], local.shape[2], local.shape[3]
+        if (
+            self.use_pallas
+            and d["wr"] is not None
+            and h % _ROW_BLOCK == 0
+            and c <= self.pallas_max_channels
+        ):
+            return fused_dfc_tail(
+                local, a, x, d["wg"], d["bg"], d["wf"], d["bf"], d["wr"], interpret=self.interpret
+            )
+        return self._tail_lax(d, local, a, x)
+
+    def _build_forward(self):
+        def forward(x):
+            x = x.astype(self.dtype)
+            skips = []
+            h = x
+            for i in range(1, 5):
+                h = self._block(f"down{i}", h)
+                skips.append(h)
+                h = max_pool(h, 2, 2)
+            h = self._block("bottleneck", h)
+            for i in range(4, 0, -1):
+                skip = skips[i - 1]
+                kt, bt = self.ups[f"up{i}"]
+                h = conv_transpose_2x2(h, kt.astype(h.dtype), bt)
+                if h.shape[1:3] != skip.shape[1:3]:
+                    h = resize_bilinear(h, skip.shape[1:3], align_corners=False)
+                h = jnp.concatenate([h, skip], axis=-1)
+                h = self._block(f"up_conv{i}", h)
+            kf, bf = self.final
+            return _conv(h, kf, bf, padding=0)
+
+        return forward
+
+    def __call__(self, x):
+        return self._forward(x)

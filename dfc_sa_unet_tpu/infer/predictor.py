@@ -60,17 +60,24 @@ def load_image(image_path: str, target_size: Optional[Tuple[int, int]] = None):
 
 
 class Predictor:
-    """Jitted forward wrapper with a per-shape compile cache."""
+    """Jitted forward wrapper with a per-shape compile cache.
 
-    def __init__(self, model, variables, compute_dtype=None):
+    ``apply_fn`` defaults to ``model.apply(..., train=False)``; pass e.g.
+    a DFCEngine-backed callable for the folded+fused serving path.
+    """
+
+    def __init__(self, model, variables, compute_dtype=None, apply_fn=None):
         self.model = model
         self.variables = variables
         self.compute_dtype = compute_dtype or jnp.float32
+        if apply_fn is None:
+            def apply_fn(variables, x):
+                return self.model.apply(variables, x, train=False)
 
         @partial(jax.jit, static_argnames=())
         def _forward_u8(variables, images_u8):
             x = normalize_on_device(images_u8, self.compute_dtype)
-            logits = self.model.apply(variables, x, train=False)
+            logits = apply_fn(variables, x)
             return jax.nn.sigmoid(logits.astype(jnp.float32))
 
         self._forward_u8 = _forward_u8

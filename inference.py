@@ -101,7 +101,17 @@ def main(args):
     dtype = jnp.bfloat16 if args.bf16 else None
     model = ModelFactory.get_model(config, dtype=dtype)
     variables = load_model_variables(model, args.model, img_size, config["model"].get("in_channels", 3))
-    predictor = Predictor(model, variables, compute_dtype=dtype)
+    apply_fn = None
+    if args.engine:
+        if config["model"]["name"] == "DFC-SA-Res-Block":
+            from dfc_sa_unet_tpu.infer.engine import DFCEngine
+
+            engine = DFCEngine(config, variables, dtype=dtype or jnp.float32)
+            apply_fn = lambda _, x: engine._forward(x)  # noqa: E731
+            print("Using the folded+fused inference engine.")
+        else:
+            print("(--engine only supports DFC-SA-Res-Block; using standard path)")
+    predictor = Predictor(model, variables, compute_dtype=dtype, apply_fn=apply_fn)
     print(f"Model {config['model'].get('name')} ready on {jax.devices()[0]}")
     if args.tta:
         print("Test-time augmentation (TTA) enabled.")
@@ -221,5 +231,7 @@ if __name__ == "__main__":
     parser.add_argument("--no_slide_window", action="store_true")
     parser.add_argument("--tta", action="store_true")
     parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--engine", action="store_true",
+                        help="folded+fused inference engine (DFC-SA-Res-Block)")
     parser.add_argument("--batch_size", type=int, default=32)
     main(parser.parse_args())

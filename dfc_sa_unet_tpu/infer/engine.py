@@ -66,7 +66,7 @@ class DFCEngine:
         config: Mapping[str, Any],
         variables: Mapping[str, Any],
         dtype=jnp.bfloat16,
-        use_pallas: bool = True,
+        use_pallas: bool = False,  # measured slower than lax.conv at C=64 (PERF.md)
         pallas_max_channels: int = 512,
     ):
         m = config["model"]
@@ -112,15 +112,21 @@ class DFCEngine:
                               p["fusion_conv_1"], s["fusion_conv_1"])
         d["conv"] = (jnp.asarray(kc, self.dtype), jnp.asarray(bc, jnp.float32))
         d["attn0"] = (jnp.asarray(ka, self.dtype), jnp.asarray(ba, jnp.float32))
-        # tail weights as [K, C] matmul operands (1x1 kernels squeezed)
+        # gate/fusion kept as 4D 1x1 kernels: lax.conv lowers far better on
+        # TPU than einsum/dot for these shapes (PERF.md)
+        d["kg"] = (jnp.asarray(kg, self.dtype), jnp.asarray(bg, jnp.float32))
+        d["kf"] = (jnp.asarray(kf, self.dtype), jnp.asarray(bf, jnp.float32))
+        # flat [K, C] copies for the Pallas tail kernel
         d["wg"] = jnp.asarray(kg[0, 0], self.dtype)
         d["bg"] = jnp.asarray(bg, jnp.float32)
         d["wf"] = jnp.asarray(kf[0, 0], self.dtype)
         d["bf"] = jnp.asarray(bf, jnp.float32)
         res_scale = jnp.asarray(p["res_scale"], jnp.float32)
         if "residual_conv" in p:
+            d["kr"] = jnp.asarray(p["residual_conv"]["kernel"] * res_scale, self.dtype)
             d["wr"] = jnp.asarray(p["residual_conv"]["kernel"][0, 0] * res_scale, self.dtype)
         else:
+            d["kr"] = None
             d["wr"] = None
             d["res_scale"] = res_scale
         lsa = p["attn_branch_3"]
@@ -147,8 +153,7 @@ class DFCEngine:
 
         def proj(t, wb):
             wk, bias = wb
-            y = jnp.einsum("bhwc,cf->bhwf", t, wk, preferred_element_type=jnp.float32)
-            return (y + bias).astype(t.dtype)
+            return _conv(t, wk[None, None], bias, padding=0)
 
         q = proj(pooled, d["q"])
         k = proj(pooled, d["k"])
@@ -158,18 +163,21 @@ class DFCEngine:
         return (d["gamma"] * o.astype(jnp.float32) + a.astype(jnp.float32)).astype(a.dtype)
 
     def _tail_lax(self, d, local, a, x):
-        c = local.shape[-1]
-        g = jnp.einsum("bhwc,cf->bhwf", local, d["wg"][:c], preferred_element_type=jnp.float32)
-        g = g + jnp.einsum("bhwc,cf->bhwf", a, d["wg"][c:], preferred_element_type=jnp.float32)
-        g = jax.nn.sigmoid(g + d["bg"])
+        """Mirror of the module tail with BN pre-folded; concat + lax.conv
+        (the TPU-fast formulation, see PERF.md)."""
+        combined = jnp.concatenate([local, a], axis=-1)
+        g = _conv(combined, *d["kg"], padding=0)
+        g = jax.nn.sigmoid(g.astype(jnp.float32))
         lf, af = local.astype(jnp.float32), a.astype(jnp.float32)
         fused = (g * lf + (1.0 - g) * af).astype(local.dtype)
-        o = jnp.einsum("bhwc,cf->bhwf", fused, d["wf"][:c], preferred_element_type=jnp.float32)
-        o = o + jnp.einsum("bhwc,cf->bhwf", local, d["wf"][c : 2 * c], preferred_element_type=jnp.float32)
-        o = o + jnp.einsum("bhwc,cf->bhwf", a, d["wf"][2 * c :], preferred_element_type=jnp.float32)
-        o = jnp.maximum(o + d["bf"], 0.0)
-        if d["wr"] is not None:
-            o = o + jnp.einsum("bhwc,cf->bhwf", x, d["wr"], preferred_element_type=jnp.float32)
+        o = _conv(jnp.concatenate([fused, combined], axis=-1), *d["kf"], padding=0)
+        o = jnp.maximum(o.astype(jnp.float32), 0.0)
+        if d["kr"] is not None:
+            res = jax.lax.conv_general_dilated(
+                x, d["kr"].astype(x.dtype), (1, 1), ((0, 0), (0, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"), preferred_element_type=jnp.float32,
+            )
+            o = o + res
         else:
             o = o + d["res_scale"] * x.astype(jnp.float32)
         return o.astype(local.dtype)

@@ -71,6 +71,17 @@ def _prec(dtype):
     return None if dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
 
 
+def _conv_preferred(dtype):
+    """Accumulation dtype request for lax.conv.
+
+    In bf16 mode we must NOT request an f32 output: the conv VJP would
+    pair an f32 cotangent with the bf16 kernel, which lax.conv rejects
+    (strict same-dtype requirement).  The MXU accumulates in f32
+    internally either way; only the stored output dtype changes.
+    """
+    return None if dtype == jnp.bfloat16 else jnp.float32
+
+
 def _pair(v):
     return (v, v) if isinstance(v, int) else tuple(v)
 
@@ -112,7 +123,7 @@ class Conv(nn.Module):
             padding=((ph, ph), (pw, pw)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=self.groups,
-            preferred_element_type=jnp.float32, precision=_prec(dtype),
+            preferred_element_type=_conv_preferred(dtype), precision=_prec(dtype),
         )
         if bias is not None:
             y = y + bias
@@ -156,7 +167,7 @@ class WSConv(nn.Module):
             window_strides=(sh, sw),
             padding=((ph, ph), (pw, pw)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32, precision=_prec(dtype),
+            preferred_element_type=_conv_preferred(dtype), precision=_prec(dtype),
         )
         if bias is not None:
             y = y + bias
@@ -234,7 +245,7 @@ class ConvTranspose(nn.Module):
             padding=((kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)),
             lhs_dilation=(sh, sw),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32, precision=_prec(dtype),
+            preferred_element_type=_conv_preferred(dtype), precision=_prec(dtype),
         )
         if bias is not None:
             y = y + bias

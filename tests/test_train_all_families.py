@@ -78,3 +78,25 @@ def test_one_train_and_eval_step(name, extra, size):
     assert changed, f"{name}: no parameter update"
     _, em = trainer._eval_step(new_state, imgs, masks)
     assert np.isfinite(float(em["loss"])), name
+
+
+def test_bf16_train_step():
+    """bf16 training regression: the conv VJP must not mix f32 cotangents
+    with bf16 kernels (caught on real TPU; preferred_element_type fix)."""
+    import jax.numpy as jnp
+
+    config = _config("DFC-SA-Res-Block", SMALL, 32)
+    model = ModelFactory.get_model(config, dtype=jnp.bfloat16)
+    trainer = Trainer(model, None, None, config, seed=0, compute_dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": rng.integers(0, 256, size=(2, 32, 32, 3), dtype=np.uint8),
+        "mask": rng.integers(0, 256, size=(2, 32, 32), dtype=np.uint8),
+    }
+    state = trainer.init_state(batch)
+    import jax
+
+    s2, m = trainer._train_step(state, jnp.asarray(batch["image"]), jnp.asarray(batch["mask"]))
+    assert np.isfinite(float(m["loss"]))
+    # master params stay f32
+    assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(s2.params))

@@ -266,6 +266,7 @@ def unet_forward(
     enc_factory: BlockFactory,
     dec_factory: BlockFactory,
     dtype=None,
+    remat: bool = False,
 ):
     """Shared 4-level U-Net wiring used by UNetDFCSA and every ablation.
 
@@ -276,14 +277,24 @@ def unet_forward(
     parent module's compact ``__call__`` (submodules attach to the caller).
     """
     f = list(features)
+
+    def call_block(mdl, h):
+        return mdl(h, train)
+
+    if remat:
+        # rematerialize each block in the backward pass: activation memory
+        # drops from O(all intermediate maps) to O(block boundaries),
+        # enabling larger train batches (SURVEY.md §7 / scaling playbook)
+        call_block = nn.remat(call_block)
+
     skips = []
     h = x
     for i in range(4):
-        h = enc_factory(f[i], name=f"down{i + 1}")(h, train)
+        h = call_block(enc_factory(f[i], name=f"down{i + 1}"), h)
         skips.append(h)
         h = max_pool(h, 2, 2)
 
-    h = enc_factory(f[3] * 2, name="bottleneck")(h, train)
+    h = call_block(enc_factory(f[3] * 2, name="bottleneck"), h)
 
     for i in range(4, 0, -1):
         skip = skips[i - 1]
@@ -291,6 +302,6 @@ def unet_forward(
         if h.shape[1:3] != skip.shape[1:3]:
             h = resize_bilinear(h, skip.shape[1:3], align_corners=False)
         h = jnp.concatenate([h, skip], axis=-1)
-        h = dec_factory(f[i - 1], name=f"up_conv{i}")(h, train)
+        h = call_block(dec_factory(f[i - 1], name=f"up_conv{i}"), h)
 
     return Conv(out_channels, 1, name="final_conv", dtype=dtype)(h)

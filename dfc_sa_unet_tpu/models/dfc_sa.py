@@ -22,6 +22,7 @@ class UNetDFCSA(nn.Module):
     pool_size: int = 8
     qk_div: int = 8  # reference 'ablation_on_qk_channels'
     use_pallas: bool = False
+    remat: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -41,6 +42,7 @@ class UNetDFCSA(nn.Module):
             enc_factory=lambda f, name: block(features=f, name=name),
             dec_factory=lambda f, name: block(features=f, name=name),
             dtype=self.dtype,
+            remat=self.remat,
         )
 
 

@@ -18,7 +18,7 @@ def _model_cfg(config: Mapping[str, Any]) -> Mapping[str, Any]:
     return config.get("model", config)
 
 
-def create_model(config: Mapping[str, Any], dtype: Optional[Any] = None, use_pallas: bool = False) -> nn.Module:
+def create_model(config: Mapping[str, Any], dtype: Optional[Any] = None, use_pallas: bool = False, remat: bool = False) -> nn.Module:
     """Instantiate the Flax module named by ``config['model']['name']``."""
     m = _model_cfg(config)
     name = m["name"]
@@ -48,6 +48,7 @@ def create_model(config: Mapping[str, Any], dtype: Optional[Any] = None, use_pal
             pool_size=pool_size,
             qk_div=qk_div,
             use_pallas=use_pallas,
+            remat=remat or m.get("remat", False),
             dtype=dtype,
         )
 
@@ -118,12 +119,12 @@ class ModelFactory:
     def __init__(self, config: Optional[Mapping[str, Any]] = None):
         self.config = config
 
-    def create_model(self, config=None, dtype=None, use_pallas=False):
+    def create_model(self, config=None, dtype=None, use_pallas=False, remat=False):
         cfg = config or self.config
         if cfg is None:
             raise ValueError("a config must be provided")
-        return create_model(cfg, dtype=dtype, use_pallas=use_pallas)
+        return create_model(cfg, dtype=dtype, use_pallas=use_pallas, remat=remat)
 
     @staticmethod
-    def get_model(config, dtype=None, use_pallas=False):
-        return create_model(config, dtype=dtype, use_pallas=use_pallas)
+    def get_model(config, dtype=None, use_pallas=False, remat=False):
+        return create_model(config, dtype=dtype, use_pallas=use_pallas, remat=remat)

@@ -39,6 +39,7 @@ def main():
         help="Enable/disable data augmentation (true/false)",
     )
     parser.add_argument("--bf16", action="store_true", help="bfloat16 compute (f32 master params)")
+    parser.add_argument("--remat", action="store_true", help="rematerialize blocks (larger batches)")
     parser.add_argument("--data_parallel", action="store_true", help="Shard batches over all devices")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
@@ -63,7 +64,7 @@ def main():
     train_loader = factory.get_train_loader(drop_last=mesh is not None)
     val_loader = factory.get_val_loader()
 
-    model = ModelFactory.get_model(config, dtype=dtype)
+    model = ModelFactory.get_model(config, dtype=dtype, remat=args.remat)
     trainer = Trainer(
         model, train_loader, val_loader, config, mesh=mesh, seed=args.seed, compute_dtype=dtype
     )

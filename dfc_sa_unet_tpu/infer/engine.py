@@ -146,10 +146,9 @@ class DFCEngine:
     def _lsa(self, d, a):
         b, h, w, c = a.shape
         p = self.pool_size
-        if h % p == 0 and w % p == 0:
-            pooled = _avg_pool_reshape(a, p)
-        else:
-            pooled = adaptive_avg_pool(a, (p, p))
+        # NOTE: matmul pooling measured faster in-context than reshape-mean
+        # (reshapes split the sublane dim and force relayouts; PERF.md)
+        pooled = adaptive_avg_pool(a, (p, p))
 
         def proj(t, wb):
             wk, bias = wb

@@ -17,16 +17,18 @@ Reference layer map: see SURVEY.md at the repo root.
 
 __version__ = "0.1.0"
 
-# Honor JAX_PLATFORMS even when the host image's sitecustomize pins
-# jax_platforms to a hardware plugin (observed: 'axon' tunnel overrides
-# the env var).  Must run before any backend is initialized.
+# Honor JAX_PLATFORMS=cpu even when the host image's sitecustomize pins
+# jax_platforms to a hardware plugin (observed: the 'axon' tunnel
+# overrides the env var).  Only the CPU override is applied — re-setting
+# a plugin platform here can race its registration (setting 'axon' before
+# the plugin registers makes backend init fail).
 import os as _os
 
-if _os.environ.get("JAX_PLATFORMS"):
+if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
     import jax as _jax
 
     try:
-        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+        _jax.config.update("jax_platforms", "cpu")
     except Exception:  # backend already initialized — leave it be
         pass
 del _os

@@ -15,7 +15,7 @@ Design (TPU-first, vs the reference's torch DataLoader):
 import threading
 import queue
 from concurrent.futures import ThreadPoolExecutor
-from typing import Iterator, Optional, Tuple
+from typing import Iterator
 
 import numpy as np
 import jax

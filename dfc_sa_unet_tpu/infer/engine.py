@@ -18,8 +18,7 @@ Supported: 'DFC-SA-Res-Block' (UNetDFCSA/UNetDFCSARes).  Other models
 fall back to the regular module apply (Predictor handles this).
 """
 
-from functools import partial
-from typing import Any, Mapping, Optional
+from typing import Any, Mapping
 
 import jax
 import jax.numpy as jnp

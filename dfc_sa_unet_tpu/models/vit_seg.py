@@ -23,7 +23,6 @@ from dfc_sa_unet_tpu.nn.layers import (
     ConvTranspose,
     Dense,
     LayerNorm,
-    torch_bias_init,
 )
 from dfc_sa_unet_tpu.ops.resize import resize_bilinear
 

@@ -16,7 +16,6 @@ tests/test_parallel.py); the explicit one is the template to extend with
 reduce_scatter/all_gather when a model ever needs sharded state.
 """
 
-from functools import partial
 from typing import Any, Mapping, Optional
 
 import jax

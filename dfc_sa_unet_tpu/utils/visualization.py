@@ -9,7 +9,7 @@ All host-side; matplotlib uses the Agg backend.
 """
 
 import os
-from typing import Optional, Sequence
+from typing import Sequence
 
 import matplotlib
 

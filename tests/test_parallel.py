@@ -1,7 +1,6 @@
 """Multi-chip (virtual 8-device CPU mesh) data-parallel tests."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

@@ -1,0 +1,64 @@
+"""Small-utility tests: StepTimer, metrics_from_counts edge cases,
+visualization artifact shapes."""
+
+import time
+
+import numpy as np
+
+from dfc_sa_unet_tpu.metrics import metrics_from_counts
+from dfc_sa_unet_tpu.utils.profiling import StepTimer
+from dfc_sa_unet_tpu.utils.visualization import (
+    create_combined_visualization,
+    create_overlay,
+    denormalize_image,
+)
+
+
+def test_step_timer():
+    t = StepTimer()
+    t.tick()
+    time.sleep(0.01)
+    t.tick(items=4)
+    time.sleep(0.01)
+    t.tick(items=4)
+    assert t.steps == 2 and t.items == 8
+    assert t.ms_per_step >= 10.0
+    assert 0 < t.items_per_sec < 8 / 0.02 * 2
+    assert "img/s" in t.summary()
+
+
+def test_metrics_from_counts_zero_everything():
+    m = metrics_from_counts(0, 0, 0, 0)
+    for v in m.values():
+        assert np.isfinite(v) and v == 0.0
+
+
+def test_metrics_from_counts_perfect():
+    m = metrics_from_counts(tp=100, fp=0, fn=0, tn=900)
+    assert abs(m["dice_f1"] - 1.0) < 1e-5
+    assert abs(m["iou"] - 1.0) < 1e-5
+    assert abs(m["accuracy"] - 1.0) < 1e-5
+
+
+def test_overlay_and_combined_shapes(tmp_path):
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    mask = (rng.uniform(size=(32, 32)) > 0.5).astype(np.float32)
+    ov = create_overlay(img, mask)
+    assert ov.shape == img.shape and ov.dtype == np.uint8
+    out = create_combined_visualization(
+        img, (mask * 255).astype(np.uint8), (mask * 255).astype(np.uint8),
+        "t", str(tmp_path / "combined.png"),
+    )
+    assert out.shape[1] == 5 * 32 + 4 * 3  # 5 panels + 4 borders
+    assert (tmp_path / "combined.png").exists()
+
+
+def test_denormalize_roundtrip():
+    rng = np.random.default_rng(1)
+    orig = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    norm = (orig.astype(np.float32) / 255.0 - mean) / std
+    back = denormalize_image(norm)
+    assert np.abs(back.astype(int) - orig.astype(int)).max() <= 1

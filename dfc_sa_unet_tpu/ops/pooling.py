@@ -38,6 +38,10 @@ def adaptive_avg_pool(x: jnp.ndarray, output_size) -> jnp.ndarray:
     """Adaptive average pool of an NHWC tensor to (p_h, p_w).
 
     Exact-parity replacement for ``F.adaptive_avg_pool2d`` on NCHW.
+    Kept as the separable matmul formulation: both reduce_window (845
+    img/s) and reshape-mean (regressed in engine v2) measured slower than
+    this in the full model despite the relayout copies it incurs —
+    XLA fuses the matmul form best in context (PERF.md).
     """
     p_h, p_w = int(output_size[0]), int(output_size[1])
     b, h, w, c = x.shape

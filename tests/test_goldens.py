@@ -44,3 +44,15 @@ def test_dfc_sa_res_golden():
     got = mdl.apply(variables, x, train=False)
     got_nchw = np.transpose(np.asarray(got), (0, 3, 1, 2))
     np.testing.assert_allclose(got_nchw, want, atol=5e-4, rtol=1e-3)
+
+
+def test_concat_fusion_golden():
+    g = np.load(os.path.join(GOLDEN_DIR, "concat_fusion_small.npz"))
+    flat = {k: g[k] for k in g.files}
+    variables = _unflatten(flat)
+    x = jnp.asarray(np.transpose(flat["__input__"], (0, 2, 3, 1)))
+    cfg = {"model": {"name": "UNet_ConcatFusion", "features": [8, 16, 24, 32], "pool_size": 4}}
+    got = create_model(cfg).apply(variables, x, train=False)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(got), (0, 3, 1, 2)), flat["__output__"], atol=5e-4, rtol=1e-3
+    )

@@ -100,3 +100,38 @@ def test_bf16_train_step():
     assert np.isfinite(float(m["loss"]))
     # master params stay f32
     assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(s2.params))
+
+
+@pytest.mark.parametrize("name,extra,size", [
+    ("UNet", {}, 32),
+    ("VisionTransformerSegmentation",
+     {"img_dim": 32, "patch_dim": 8, "embed_dim": 16, "num_layers": 1, "num_heads": 2,
+      "mlp_dim": 32, "dropout": 0.1, "segmentation_head_upsample_layers": 3}, 32),
+    ("TransformerUNet", {}, 32),
+], ids=["UNet", "ViT", "TransUNet"])
+def test_bf16_train_step_other_families(name, extra, size):
+    """bf16 backward coverage beyond the DFC family (Dense/LayerNorm/
+    GroupNorm/WSConv/ConvTranspose VJP dtype paths)."""
+    import jax.numpy as jnp
+
+    config = _config(name, extra, size)
+    if name in ("TransformerUNet", "TransUNet"):
+        from dfc_sa_unet_tpu.models.transunet import TransUNet, get_r50_b16_config
+
+        cfg = get_r50_b16_config()
+        cfg.update(patches_grid=(2, 2), resnet_num_layers=(1, 1, 1), hidden_size=48,
+                   mlp_dim=64, num_heads=4, num_layers=1, n_classes=1)
+        model = TransUNet(config=cfg, img_size=32, num_classes=1, dtype=jnp.bfloat16)
+    else:
+        model = ModelFactory.get_model(config, dtype=jnp.bfloat16)
+    trainer = Trainer(model, None, None, config, seed=0, compute_dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": rng.integers(0, 256, size=(2, size, size, 3), dtype=np.uint8),
+        "mask": rng.integers(0, 256, size=(2, size, size), dtype=np.uint8),
+    }
+    state = trainer.init_state(batch)
+    import jax.numpy as jnp2
+
+    _, m = trainer._train_step(state, jnp2.asarray(batch["image"]), jnp2.asarray(batch["mask"]))
+    assert np.isfinite(float(m["loss"])), name

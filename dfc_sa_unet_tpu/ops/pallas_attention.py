@@ -70,10 +70,16 @@ def _fused_attention_nmc(q, k, v, interpret=False):
     )(q, k, v)
 
 
+@jax.custom_vjp
 def fused_pooled_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Drop-in replacement for ops.attention.pooled_self_attention.
 
     q, k: [B, p, p, C']; v: [B, p, p, C] -> [B, p, p, C].
+
+    Differentiable: the forward runs the fused Pallas kernel; the backward
+    recomputes through the lax reference math (the pooled attention core is
+    <=1024 tokens, so recompute is negligible) — standard custom-VJP
+    pattern for Pallas kernels.
     """
     b, ph, pw, cq = q.shape
     c = v.shape[-1]
@@ -83,3 +89,18 @@ def fused_pooled_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jn
         q.reshape(b, n, cq), k.reshape(b, n, cq), v.reshape(b, n, c), interpret=interpret
     )
     return out.reshape(b, ph, pw, c)
+
+
+def _fused_fwd(q, k, v):
+    return fused_pooled_attention(q, k, v), (q, k, v)
+
+
+def _fused_bwd(residuals, g):
+    from dfc_sa_unet_tpu.ops.attention import pooled_self_attention
+
+    q, k, v = residuals
+    _, vjp = jax.vjp(pooled_self_attention, q, k, v)
+    return vjp(g)
+
+
+fused_pooled_attention.defvjp(_fused_fwd, _fused_bwd)

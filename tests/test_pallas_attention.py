@@ -33,3 +33,25 @@ def test_model_with_pallas_flag_matches():
     y_lax = m_lax.apply(variables, x, train=False)
     y_pl = m_pl.apply(variables, x, train=False)
     np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_lax), atol=1e-4, rtol=1e-3)
+
+
+def test_fused_attention_is_differentiable():
+    """The Pallas kernel carries a custom VJP (lax-math backward), so
+    use_pallas=True models are trainable."""
+    import jax
+
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.standard_normal((1, 4, 4, 8)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 4, 4, 8)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 4, 4, 16)), jnp.float32)
+
+    def loss_fused(q, k, v):
+        return fused_pooled_attention(q, k, v).sum()
+
+    def loss_lax(q, k, v):
+        return pooled_self_attention(q, k, v).sum()
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g_lax = jax.grad(loss_lax, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_fused, g_lax):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)

@@ -4,12 +4,15 @@ Mirrors reference models/model_factory.py:74-186 (same names, same config
 keys, same defaults) with two fixes the reference needs:
   * the package imports cleanly (reference models/__init__.py imports a
     module whose source is missing),
-  * pretrained weights may be either a Flax/Orbax checkpoint or a torch
-    ``.pth`` (converted on load).
+  * pretrained weights (``config['model']['pretrained_path']``, loaded by
+    ``load_pretrained_variables`` / ``get_model_and_variables``, mirroring
+    reference models/model_factory.py:50-72) may be either a Flax/Orbax
+    checkpoint directory or a torch ``.pth`` (raw state_dict or trainer
+    checkpoint) — converted on load.
 """
 
 import math
-from typing import Any, Mapping, Optional
+from typing import Any, Mapping, Optional, Tuple
 
 from flax import linen as nn
 
@@ -108,12 +111,69 @@ def create_model(config: Mapping[str, Any], dtype: Optional[Any] = None, use_pal
     raise ValueError(f"unsupported model name: {name!r}")
 
 
+def load_variables(model: nn.Module, path: str, img_size=(224, 224), in_channels: int = 3):
+    """Load model variables from ``path`` — an Orbax checkpoint directory
+    (full trainer state, best_model weights, or bare variables) or a torch
+    ``.pth`` (raw state_dict or reference trainer checkpoint, converted via
+    utils/torch_convert.py).  Returns ``{'params':.., 'batch_stats':..}``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    path = str(path).replace("\\", "/")
+    x = jnp.zeros((1, img_size[0], img_size[1], in_channels), jnp.float32)
+    template = model.init(jax.random.key(0), x, train=False)
+    if path.endswith(".pth") or path.endswith(".pt"):
+        from dfc_sa_unet_tpu.utils.torch_convert import load_torch_checkpoint
+
+        variables = load_torch_checkpoint(path, template)
+    else:
+        from dfc_sa_unet_tpu.utils import checkpoint as ckpt_util
+
+        tree = ckpt_util.restore_pytree(path)
+        if "params" not in tree:
+            raise ValueError(f"checkpoint at {path} has no 'params'")
+        variables = {"params": tree["params"]}
+        if tree.get("batch_stats") is not None:
+            variables["batch_stats"] = tree["batch_stats"]
+    return jax.tree.map(jnp.asarray, variables)
+
+
+def load_pretrained_variables(model: nn.Module, config: Mapping[str, Any]):
+    """Load ``config['model']['pretrained_path']`` if set, else None.
+
+    Mirrors reference models/model_factory.py:50-72 (the reference loads
+    pretrained weights inside get_model; here model and variables are
+    separate values, so this is the companion call).
+    """
+    path = _model_cfg(config).get("pretrained_path")
+    if not path:
+        return None
+    img = config.get("dataset", {}).get("img_size", [224, 224])
+    img_size = tuple(img) if isinstance(img, (list, tuple)) else (img, img)
+    return load_variables(
+        model, path, img_size=img_size, in_channels=_model_cfg(config).get("in_channels", 3)
+    )
+
+
+def get_model_and_variables(
+    config: Mapping[str, Any], dtype=None, use_pallas: bool = False, remat: bool = False
+) -> Tuple[nn.Module, Optional[Mapping[str, Any]]]:
+    """(model, variables) where variables come from ``pretrained_path``
+    (None when the config doesn't set one) — the closest analog of the
+    reference's weight-loading ``ModelFactory.get_model``."""
+    model = create_model(config, dtype=dtype, use_pallas=use_pallas, remat=remat)
+    return model, load_pretrained_variables(model, config)
+
+
 class ModelFactory:
     """API-compatible facade over ``create_model``.
 
     Usage (both reference styles, models/model_factory.py:14-72):
       * ``ModelFactory.get_model(config)``
       * ``ModelFactory(config).create_model()``
+      * ``ModelFactory.get_model_and_variables(config)`` — also loads
+        ``config['model']['pretrained_path']`` when present.
     """
 
     def __init__(self, config: Optional[Mapping[str, Any]] = None):
@@ -128,3 +188,7 @@ class ModelFactory:
     @staticmethod
     def get_model(config, dtype=None, use_pallas=False, remat=False):
         return create_model(config, dtype=dtype, use_pallas=use_pallas, remat=remat)
+
+    @staticmethod
+    def get_model_and_variables(config, dtype=None, use_pallas=False, remat=False):
+        return get_model_and_variables(config, dtype=dtype, use_pallas=use_pallas, remat=remat)

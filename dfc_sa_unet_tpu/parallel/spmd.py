@@ -29,15 +29,50 @@ AXIS = "data"
 
 
 def _bce_sums(p, t):
-    p = jnp.clip(p.astype(jnp.float32), 1e-12, 1.0 - 1e-7)
+    """torch.nn.BCELoss sums: the LOG terms are clamped at -100 (exactly
+    like losses._bce — clipping p instead changes saturated-contour terms
+    from -100 to log(eps) and breaks joint-loss parity)."""
+    p = p.astype(jnp.float32)
+    t = t.astype(jnp.float32)
     log_p = jnp.clip(jnp.log(p), -100.0)
     log_1p = jnp.clip(jnp.log1p(-p), -100.0)
     return -jnp.sum(t * log_p + (1.0 - t) * log_1p), jnp.asarray(t.size, jnp.float32)
 
 
+def _psum_mean(total, count):
+    return jax.lax.psum(total, AXIS) / jax.lax.psum(count, AXIS)
+
+
 def _global_loss(probs, targets, loss_type: str, loss_params: Mapping[str, Any]):
-    """Loss over the *global* batch from shard-local tensors, via psum."""
+    """Loss over the *global* batch from shard-local tensors, via psum.
+
+    Every loss in the family is either a mean (BCE terms) or a ratio of
+    global sums (Dice/Tversky) — both psum-decomposable.  The Laplacian
+    contour conv of ``joint`` is per-sample spatial work, so it stays
+    shard-local; only its BCE mean is reduced.
+    """
     lp = dict(loss_params or {})
+    if loss_type == "joint":
+        # reference utils/metrics.py:96-176 (mirrors losses.joint_loss)
+        from dfc_sa_unet_tpu.losses import _contour
+
+        p4 = jnp.nan_to_num(probs.astype(jnp.float32), nan=0.5, posinf=1.0, neginf=0.0)
+        t4 = jnp.nan_to_num(targets.astype(jnp.float32), nan=0.0)
+        p4 = jnp.clip(p4, 1e-7, 1.0 - 1e-7)
+        l_bce = _psum_mean(*_bce_sums(p4, t4))
+        inter = jax.lax.psum(jnp.sum(p4 * t4), AXIS)
+        denom = jax.lax.psum(jnp.sum(p4), AXIS) + jax.lax.psum(jnp.sum(t4), AXIS)
+        l_dice = 1.0 - (2.0 * inter + 1e-6) / (denom + 1e-6)
+        l_bce = jnp.where(jnp.isnan(l_bce), 0.0, l_bce)
+        l_dice = jnp.where(jnp.isnan(l_dice), 0.0, l_dice)
+        l_seg = lp.get("bce_weight", 1.0) * l_bce + lp.get("dice_weight", 1.0) * l_dice
+        pred_contour = jnp.clip(_contour(p4), 0.0, 1.0)
+        target_contour = jax.lax.stop_gradient(jnp.clip(_contour(t4), 0.0, 1.0))
+        l_cp = _psum_mean(*_bce_sums(pred_contour, target_contour))
+        l_cp = jnp.where(jnp.isnan(l_cp), 0.0, l_cp)
+        total = l_seg + lp.get("contour_weight", 1.0) * l_cp
+        return jnp.where(jnp.isnan(total), l_bce + l_dice, total)
+
     p = probs.astype(jnp.float32).reshape(-1)
     t = targets.astype(jnp.float32).reshape(-1)
     inter = jax.lax.psum(jnp.sum(p * t), AXIS)
@@ -51,8 +86,7 @@ def _global_loss(probs, targets, loss_type: str, loss_params: Mapping[str, Any])
         a, b = lp.get("alpha", 0.5), lp.get("beta", 0.5)
         return 1.0 - (inter + 1.0) / (inter + a * fp + b * fn + 1.0)
     if loss_type == "bce_dice":
-        bce_sum, cnt = _bce_sums(p, t)
-        bce = jax.lax.psum(bce_sum, AXIS) / jax.lax.psum(cnt, AXIS)
+        bce = _psum_mean(*_bce_sums(p, t))
         dice_l = 1.0 - (2.0 * inter + 1.0) / (p_sum + t_sum + 1.0)
         w_bce = lp.get("weight_bce", lp.get("bce_weight", 1.0))
         w_dice = lp.get("weight_dice", lp.get("dice_weight", 1.0))
@@ -81,11 +115,16 @@ def make_spmd_train_step(
             variables = {"params": params}
             if batch_stats:
                 variables["batch_stats"] = batch_stats
+            # per-shard dropout rng: fold in the shard index so replicas
+            # don't drop the same units (wrong for ViT/TransUNet otherwise)
+            rng = jax.random.fold_in(
+                jax.random.fold_in(jax.random.key(0), step), jax.lax.axis_index(AXIS)
+            )
             with bn_cross_replica_axis(AXIS):
                 out = model.apply(
                     variables, x, train=True,
                     mutable=["batch_stats"] if batch_stats else False,
-                    rngs={"dropout": jax.random.fold_in(jax.random.key(0), step)},
+                    rngs={"dropout": rng},
                 )
             logits, mutated = out if batch_stats else (out, {})
             probs = jax.nn.sigmoid(logits.astype(jnp.float32))

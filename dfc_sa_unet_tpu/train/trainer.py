@@ -72,6 +72,7 @@ class Trainer:
         mesh: Optional[jax.sharding.Mesh] = None,
         seed: int = 0,
         compute_dtype=None,
+        init_variables: Optional[Mapping[str, Any]] = None,
     ):
         self.model = model
         self.train_loader = train_loader
@@ -79,6 +80,9 @@ class Trainer:
         self.config = config
         self.mesh = mesh
         self.compute_dtype = compute_dtype
+        # warm-start weights (config['model']['pretrained_path'] via
+        # factory.load_pretrained_variables — reference model_factory.py:50-72)
+        self.init_variables = init_variables
 
         tr = config["training"]
         self.num_epochs = tr["num_epochs"]
@@ -124,8 +128,13 @@ class Trainer:
     # ---------------------------------------------------------------- state
 
     def init_state(self, sample_batch) -> TrainState:
-        x = normalize_on_device(jnp.asarray(sample_batch["image"][:1]), self.compute_dtype or jnp.float32)
-        variables = self.model.init(self.base_key, x, train=False)
+        if self.init_variables is not None:
+            variables = jax.tree.map(jnp.asarray, self.init_variables)
+        else:
+            x = normalize_on_device(
+                jnp.asarray(sample_batch["image"][:1]), self.compute_dtype or jnp.float32
+            )
+            variables = self.model.init(self.base_key, x, train=False)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         opt_state = self.tx.init(params)

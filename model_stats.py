@@ -37,6 +37,57 @@ def count_parameters(params, prefix=""):
     return rows, total
 
 
+def leaf_parameter_rows(params):
+    """One row per leaf module (a module holding arrays directly) —
+    the reference's per-leaf param table (model_stats.py:15-36)."""
+    rows = []
+
+    def walk(node, path):
+        arrays = {k: v for k, v in node.items() if hasattr(v, "shape")}
+        if arrays:
+            rows.append((".".join(path) or "<root>",
+                         sum(int(np.prod(a.shape)) for a in arrays.values())))
+        for k in sorted(node):
+            if not hasattr(node[k], "shape"):
+                walk(node[k], path + [k])
+
+    walk(params, [])
+    return rows
+
+
+def _params_at(params, path):
+    node = params
+    for p in path:
+        if not isinstance(node, dict) or p not in node:
+            return 0
+        node = node[p]
+    return sum(int(np.prod(a.shape)) for a in jax.tree.leaves(node))
+
+
+def forward_summary(model, variables, x):
+    """[(module path, output shape, params)] for every submodule, in call
+    order — the Flax-native analog of the reference's hook-based
+    architecture summary (model_stats.py:70-114), via capture_intermediates
+    (each module's __call__ output is recorded during one real forward)."""
+    _, state = model.apply(
+        variables, x, train=False, capture_intermediates=True, mutable=["intermediates"]
+    )
+    rows = []
+
+    def walk(node, path):
+        for k, v in node.items():
+            if k == "__call__":
+                out = v[0]
+                if hasattr(out, "shape"):
+                    rows.append(("/".join(path) or "<root>", tuple(out.shape),
+                                 _params_at(variables["params"], path)))
+            elif isinstance(v, dict):
+                walk(v, path + [k])
+
+    walk(state["intermediates"], [])
+    return rows
+
+
 def model_flops(model, variables, x):
     def fwd(v, x):
         return model.apply(v, x, train=False)
@@ -72,6 +123,8 @@ def main():
     variables = model.init(jax.random.key(0), x, train=False)
 
     rows, total = count_parameters(variables["params"])
+    leaf_rows = leaf_parameter_rows(variables["params"])
+    summary_rows = forward_summary(model, variables, x)
     n_stats = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(variables.get("batch_stats", {})))
     size_mb = (total + n_stats) * 4 / (1024 ** 2)
     flops = model_flops(model, variables, x)
@@ -94,7 +147,22 @@ def main():
         f"Model size: {size_mb:.2f} MB (float32)",
         f"FLOPs (per forward, XLA cost model): {flops:,.0f} ({flops / 1e9:.2f} GFLOPs)",
         f"MACs: {macs:,.0f} ({macs / 1e9:.2f} GMACs)",
+        "",
+        "Per-leaf-module parameters (reference model_stats.py:15-36):",
+        f"{'Leaf module':<55}{'Params':>15}",
+        "-" * 70,
     ]
+    for mod, n in leaf_rows:
+        lines.append(f"{mod:<55}{n:>15,}")
+    lines += [
+        "",
+        "Architecture summary — one real forward, NHWC shapes "
+        "(reference model_stats.py:70-114):",
+        f"{'Module':<55}{'Output shape':>24}{'Params':>14}",
+        "-" * 93,
+    ]
+    for mod, shape, n in summary_rows:
+        lines.append(f"{mod:<55}{str(shape):>24}{n:>14,}")
     report = "\n".join(lines)
     print(report)
 
@@ -112,6 +180,12 @@ def main():
         writer.writerow(["flops", int(flops) if np.isfinite(flops) else ""])
         writer.writerow(["macs", int(macs) if np.isfinite(macs) else ""])
         writer.writerow(["size_mb", f"{size_mb:.2f}"])
+
+    with open(base + "_layers.csv", "w", newline="") as f:
+        writer = csv.writer(f)
+        writer.writerow(["module", "output_shape", "params"])
+        for mod, shape, n in summary_rows:
+            writer.writerow([mod, "x".join(map(str, shape)), n])
 
     # parameter-distribution pie chart (reference model_stats.py:45-68)
     try:

@@ -3,6 +3,8 @@ reference, end to end — torch checkpoint -> converter -> our Predictor ->
 metrics, compared against the same checkpoint evaluated in torch with the
 reference's own metric formulas."""
 
+import pytest
+
 import numpy as np
 import torch
 
@@ -17,6 +19,8 @@ from dfc_sa_unet_tpu.models.factory import create_model
 from dfc_sa_unet_tpu.utils.torch_convert import torch_state_dict_to_variables
 
 from tests._reference import load_ref_module, require_reference
+
+pytestmark = pytest.mark.slow  # >60s on the CPU conftest; run with -m 'slow or not slow'
 
 
 def test_end_to_end_dice_iou_parity(tmp_path):

@@ -1,5 +1,7 @@
 """Numerical parity for the transformer families (ViT-Seg, TransUNet)."""
 
+import pytest
+
 import numpy as np
 import torch
 
@@ -11,6 +13,8 @@ from dfc_sa_unet_tpu.models.transunet import TransUNet, get_r50_b16_config
 from dfc_sa_unet_tpu.utils.torch_convert import torch_state_dict_to_variables
 
 from tests._reference import load_ref_module, require_reference
+
+pytestmark = pytest.mark.slow  # >60s on the CPU conftest; run with -m 'slow or not slow'
 
 TOL = dict(atol=1e-3, rtol=1e-3)
 

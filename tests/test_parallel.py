@@ -1,5 +1,7 @@
 """Multi-chip (virtual 8-device CPU mesh) data-parallel tests."""
 
+import pytest
+
 import numpy as np
 
 import jax
@@ -10,6 +12,8 @@ from dfc_sa_unet_tpu.data.loader import DataLoaderFactory
 from dfc_sa_unet_tpu.models.factory import ModelFactory
 from dfc_sa_unet_tpu.parallel import data_parallel_mesh, shard_batch
 from dfc_sa_unet_tpu.train.trainer import Trainer
+
+pytestmark = pytest.mark.slow  # >60s on the CPU conftest; run with -m 'slow or not slow'
 
 
 def _config(root, log_dir):
@@ -109,3 +113,89 @@ def test_explicit_spmd_step_matches_gspmd(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)
     for a, b in zip(jax.tree.leaves(sgn.batch_stats), jax.tree.leaves(ssn.batch_stats)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)
+
+
+def test_explicit_spmd_joint_loss_matches_single_device(tmp_path):
+    """joint loss (BCE + Dice + contour BCE) through the explicit psum
+    decomposition == the single-device GSPMD step's loss and update."""
+    from dfc_sa_unet_tpu.parallel.spmd import make_spmd_train_step
+    from dfc_sa_unet_tpu.train import optim
+
+    root = generate(str(tmp_path / "d"), n=8, size=32, seed=11)
+    cfg = _config(root, str(tmp_path / "logs"))
+    cfg["training"]["loss"] = {
+        "type": "joint",
+        "params": {"bce_weight": 0.4, "dice_weight": 0.4, "contour_weight": 0.2},
+    }
+    factory = DataLoaderFactory(cfg, seed=0)
+    loader = factory.get_val_loader()
+    batch = next(iter(loader))
+
+    model = ModelFactory.get_model(cfg)
+    mesh = data_parallel_mesh()
+
+    tg = Trainer(model, loader, loader, cfg, mesh=mesh, seed=0)
+    sg = tg.init_state(batch)
+    imgs, masks = tg._put_batch(batch)
+    sgn, mg = tg._train_step(sg, imgs, masks)
+
+    tx = optim.from_config(cfg)
+    step = make_spmd_train_step(model, tx, mesh, loss_type="joint",
+                                loss_params=cfg["training"]["loss"]["params"])
+    ssn, ms = step(sg, imgs, masks)
+
+    np.testing.assert_allclose(float(mg["loss"]), float(ms["loss"]), atol=1e-5, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(sgn.params), jax.tree.leaves(ssn.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)
+
+
+def test_explicit_spmd_dropout_rng_decorrelated(tmp_path):
+    """The explicit step folds the shard index into the dropout rng — each
+    replica must drop different units (and a dropout-bearing model runs)."""
+    from jax.sharding import PartitionSpec as P
+    from dfc_sa_unet_tpu.parallel.spmd import make_spmd_train_step
+    from dfc_sa_unet_tpu.train import optim
+
+    mesh = data_parallel_mesh()
+
+    # probe: the exact rng construction used in spmd.shard_body
+    def rng_probe():
+        rng = jax.random.fold_in(
+            jax.random.fold_in(jax.random.key(0), 3), jax.lax.axis_index("data")
+        )
+        return jax.random.uniform(rng, (1, 16))
+
+    try:
+        probe = jax.shard_map(rng_probe, mesh=mesh, in_specs=(), out_specs=P("data"),
+                              check_vma=False)
+    except TypeError:
+        probe = jax.shard_map(rng_probe, mesh=mesh, in_specs=(), out_specs=P("data"),
+                              check_rep=False)
+    draws = np.asarray(probe())
+    assert draws.shape == (8, 16)
+    assert len({tuple(np.round(r, 7)) for r in draws}) == 8, "shards share a dropout rng"
+
+    # a dropout-bearing model trains through the explicit step
+    root = generate(str(tmp_path / "d"), n=8, size=32, seed=13)
+    cfg = _config(root, str(tmp_path / "logs"))
+    cfg["model"] = {"name": "VisionTransformerSegmentation", "img_dim": 32, "patch_dim": 8,
+                    "in_channels": 3, "out_channels": 1, "embed_dim": 32, "num_layers": 1,
+                    "num_heads": 2, "mlp_dim": 64, "dropout": 0.5}
+    factory = DataLoaderFactory(cfg, seed=0)
+    loader = factory.get_val_loader()
+    batch = next(iter(loader))
+    model = ModelFactory.get_model(cfg)
+    trainer = Trainer(model, loader, loader, cfg, mesh=mesh, seed=0)
+    state = trainer.init_state(batch)
+    imgs, masks = trainer._put_batch(batch)
+    tx = optim.from_config(cfg)
+    step = make_spmd_train_step(model, tx, mesh, loss_type="bce_dice",
+                                loss_params={"bce_weight": 0.5, "dice_weight": 0.5})
+    new_state, metrics = step(state, imgs, masks)
+    assert np.isfinite(float(metrics["loss"]))
+    # params actually moved
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(new_state.params))
+    )
+    assert moved

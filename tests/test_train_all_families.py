@@ -8,6 +8,8 @@ import pytest
 from dfc_sa_unet_tpu.models.factory import ModelFactory
 from dfc_sa_unet_tpu.train.trainer import Trainer
 
+pytestmark = pytest.mark.slow  # >60s on the CPU conftest; run with -m 'slow or not slow'
+
 SMALL = {"features": [8, 16, 24, 32], "pool_size": 4}
 
 CASES = [

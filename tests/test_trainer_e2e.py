@@ -11,6 +11,8 @@ from dfc_sa_unet_tpu.models.factory import ModelFactory
 from dfc_sa_unet_tpu.train.trainer import Trainer
 from dfc_sa_unet_tpu.utils import checkpoint as ckpt_util
 
+pytestmark = pytest.mark.slow  # >60s on the CPU conftest; run with -m 'slow or not slow'
+
 
 def _config(root, log_dir, epochs=2):
     return {

@@ -6,6 +6,8 @@ semantics at once: sigmoid->BCE+Dice loss, gradients, global-norm clip
 at 1.0, SGD momentum+weight-decay, and BatchNorm's train-mode statistics
 and running-stat updates."""
 
+import pytest
+
 import numpy as np
 import torch
 
@@ -17,6 +19,8 @@ from dfc_sa_unet_tpu.train.trainer import Trainer
 from dfc_sa_unet_tpu.utils.torch_convert import torch_state_dict_to_variables
 
 from tests._reference import load_ref_module, load_ref_utils, require_reference
+
+pytestmark = pytest.mark.slow  # >60s on the CPU conftest; run with -m 'slow or not slow'
 
 LR, MOMENTUM, WD = 0.05, 0.9, 1e-4
 STEPS = 4

@@ -39,7 +39,12 @@ def main():
         help="Enable/disable data augmentation (true/false)",
     )
     parser.add_argument("--bf16", action="store_true", help="bfloat16 compute (f32 master params)")
-    parser.add_argument("--remat", action="store_true", help="rematerialize blocks (larger batches)")
+    parser.add_argument(
+        "--remat", nargs="?", const="all", default=None, choices=["all", "l12"],
+        help="rematerialize blocks in the backward pass for larger batches: "
+             "'all' (every block) or 'l12' (only the four largest-activation "
+             "blocks — most of the memory saving at a fraction of the recompute)",
+    )
     parser.add_argument("--data_parallel", action="store_true", help="Shard batches over all devices")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
@@ -64,9 +69,12 @@ def main():
     train_loader = factory.get_train_loader(drop_last=mesh is not None)
     val_loader = factory.get_val_loader()
 
-    model = ModelFactory.get_model(config, dtype=dtype, remat=args.remat)
+    model, pretrained = ModelFactory.get_model_and_variables(config, dtype=dtype, remat=args.remat)
+    if pretrained is not None:
+        print(f"Warm-starting from pretrained weights: {config['model']['pretrained_path']}")
     trainer = Trainer(
-        model, train_loader, val_loader, config, mesh=mesh, seed=args.seed, compute_dtype=dtype
+        model, train_loader, val_loader, config, mesh=mesh, seed=args.seed, compute_dtype=dtype,
+        init_variables=pretrained,
     )
     trainer.train(resume_from=args.resume)
 

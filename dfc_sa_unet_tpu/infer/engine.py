@@ -26,7 +26,7 @@ import numpy as np
 
 from dfc_sa_unet_tpu.ops.attention import pooled_self_attention
 from dfc_sa_unet_tpu.ops.convt import conv_transpose_2x2
-from dfc_sa_unet_tpu.ops.pallas_dfc_tail import _ROW_BLOCK, fused_dfc_tail
+from dfc_sa_unet_tpu.ops.pallas_dfc_tail import fused_dfc_tail, tail_supported
 from dfc_sa_unet_tpu.ops.pooling import adaptive_avg_pool, max_pool
 from dfc_sa_unet_tpu.ops.resize import resize_bilinear
 
@@ -116,6 +116,7 @@ class DFCEngine:
         d["kg"] = (jnp.asarray(kg, self.dtype), jnp.asarray(bg, jnp.float32))
         d["kf"] = (jnp.asarray(kf, self.dtype), jnp.asarray(bf, jnp.float32))
         # flat [K, C] copies for the Pallas tail kernel
+        d["bc"] = jnp.asarray(bc, jnp.float32)
         d["wg"] = jnp.asarray(kg[0, 0], self.dtype)
         d["bg"] = jnp.asarray(bg, jnp.float32)
         d["wf"] = jnp.asarray(kf[0, 0], self.dtype)
@@ -182,19 +183,26 @@ class DFCEngine:
 
     def _block(self, name, x):
         d = self.blocks[name]
-        local = jnp.maximum(_conv(x, *d["conv"], padding=1).astype(jnp.float32), 0.0).astype(x.dtype)
+        kc, bc = d["conv"]
+        # bias-free 3x3 conv: the +bc / ReLU epilogue is applied in the
+        # fused tail kernel (or one XLA fusion pass on the fallback path)
+        y3 = jax.lax.conv_general_dilated(
+            x, kc.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
         a = jnp.maximum(_conv(x, *d["attn0"], padding=0).astype(jnp.float32), 0.0).astype(x.dtype)
         a = self._lsa(d["lsa"], a)
-        h, _, c = local.shape[1], local.shape[2], local.shape[3]
+        b, h, w, c = y3.shape
         if (
             self.use_pallas
             and d["wr"] is not None
-            and h % _ROW_BLOCK == 0
-            and c <= self.pallas_max_channels
+            and tail_supported(b, h, w, c, x.shape[-1], self.pallas_max_channels)
         ):
             return fused_dfc_tail(
-                local, a, x, d["wg"], d["bg"], d["wf"], d["bf"], d["wr"], interpret=self.interpret
+                y3, a, x, d["bc"], d["wg"], d["bg"], d["wf"], d["bf"], d["wr"],
+                interpret=self.interpret,
             )
+        local = jnp.maximum(y3.astype(jnp.float32) + bc, 0.0).astype(x.dtype)
         return self._tail_lax(d, local, a, x)
 
     def _build_forward(self):

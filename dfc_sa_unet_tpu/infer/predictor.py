@@ -16,8 +16,10 @@ forward at their own shape, exactly like the reference would.
 """
 
 import os
+import queue
+import threading
 from functools import partial
-from typing import Optional, Tuple
+from typing import Iterable, Iterator, Optional, Tuple
 
 import numpy as np
 import jax
@@ -27,6 +29,47 @@ from PIL import Image, ImageFile
 from dfc_sa_unet_tpu.data.loader import normalize_on_device
 
 ImageFile.LOAD_TRUNCATED_IMAGES = True
+
+
+def prefetch(it: Iterable, depth: int = 2) -> Iterator:
+    """Run ``it`` in a background thread, ``depth`` items ahead.
+
+    Used by the inference driver to overlap host image decode with device
+    compute (the training loader has the same double-buffering pattern,
+    data/loader.py:104; the reference decodes and predicts serially,
+    reference inference.py:264-287).  Exceptions re-raise at the consumer.
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+    _END, _ERR = object(), object()
+
+    def producer():
+        try:
+            for item in it:
+                if stop.is_set():
+                    return
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # noqa: BLE001 — forwarded to consumer
+            q.put((_ERR, e))
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+                raise item[1]
+            yield item
+    finally:
+        stop.set()
+        while not q.empty():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 
 def load_image(image_path: str, target_size: Optional[Tuple[int, int]] = None):

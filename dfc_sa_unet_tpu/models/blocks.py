@@ -60,46 +60,6 @@ class LightSelfAttention(nn.Module):
         return y.astype(x.dtype)
 
 
-class SplitConv1x1(nn.Module):
-    """1x1 conv over a *virtual concat* of inputs, without materializing it.
-
-    Parameter layout is identical to ``Conv(features, 1)`` applied to the
-    concatenation (kernel [1, 1, sum(Ci), F]) so checkpoints and the torch
-    converter are unaffected; the kernel is sliced per input and applied
-    as summed matmuls.
-
-    NOTE: measured SLOWER than concat+conv on TPU v5e for the DFC blocks
-    (684 vs 869 img/s at batch 128) — splitting shrinks the contraction
-    dimension below what the MXU wants, and XLA already handles the
-    concat efficiently.  Kept for narrow-K experiments; not used by the
-    model zoo.
-    """
-
-    features: int
-    dtype: Optional[Dtype] = None
-
-    @nn.compact
-    def __call__(self, xs):
-        from dfc_sa_unet_tpu.nn.layers import conv_kernel_init, torch_bias_init, _prec
-
-        cin = sum(x.shape[-1] for x in xs)
-        kernel = self.param("kernel", conv_kernel_init, (1, 1, cin, self.features), jnp.float32)
-        bias = self.param("bias", torch_bias_init(cin), (self.features,), jnp.float32)
-        dtype = self.dtype or xs[0].dtype
-        k = kernel[0, 0]
-        out = None
-        off = 0
-        for x in xs:
-            c = x.shape[-1]
-            part = jnp.einsum(
-                "bhwc,cf->bhwf", x.astype(dtype), k[off : off + c].astype(dtype),
-                preferred_element_type=jnp.float32, precision=_prec(dtype),
-            )
-            out = part if out is None else out + part
-            off += c
-        return (out + bias).astype(dtype)
-
-
 def _conv_bn_relu(mdl_prefix: str, features: int, kernel: int, dtype):
     """conv(k)+BN+ReLU triple named `<prefix>_0`/`<prefix>_1` like the
     reference's nn.Sequential indices."""
@@ -275,26 +235,42 @@ def unet_forward(
     bottleneck at features[3]*2, ConvTranspose(2,2) decoder with bilinear
     shape-fix and skip concat, final 1x1 conv.  Must be called inside a
     parent module's compact ``__call__`` (submodules attach to the caller).
+
+    remat:
+      False     — store all activations (fastest when memory allows)
+      True/'all'— rematerialize every block in the backward pass
+      'l12'     — selective: only the four largest-activation blocks
+                  (down1/down2/up_conv1/up_conv2 hold ~3/4 of all
+                  activation bytes; rematerializing just them buys most of
+                  the memory at a fraction of the recompute — the 'all'
+                  mode pays a full extra forward)
     """
     f = list(features)
 
-    def call_block(mdl, h):
+    def call_plain(mdl, h):
         return mdl(h, train)
 
-    if remat:
-        # rematerialize each block in the backward pass: activation memory
-        # drops from O(all intermediate maps) to O(block boundaries),
-        # enabling larger train batches (SURVEY.md §7 / scaling playbook)
-        call_block = nn.remat(call_block)
+    call_remat = nn.remat(call_plain)
+    if remat in (True, "all"):
+        remat_names = {"down1", "down2", "down3", "down4", "bottleneck",
+                       "up_conv1", "up_conv2", "up_conv3", "up_conv4"}
+    elif remat == "l12":
+        remat_names = {"down1", "down2", "up_conv1", "up_conv2"}
+    else:
+        remat_names = set()
+
+    def call_block(mdl, h, name):
+        return (call_remat if name in remat_names else call_plain)(mdl, h)
 
     skips = []
     h = x
     for i in range(4):
-        h = call_block(enc_factory(f[i], name=f"down{i + 1}"), h)
+        name = f"down{i + 1}"
+        h = call_block(enc_factory(f[i], name=name), h, name)
         skips.append(h)
         h = max_pool(h, 2, 2)
 
-    h = call_block(enc_factory(f[3] * 2, name="bottleneck"), h)
+    h = call_block(enc_factory(f[3] * 2, name="bottleneck"), h, "bottleneck")
 
     for i in range(4, 0, -1):
         skip = skips[i - 1]
@@ -302,6 +278,7 @@ def unet_forward(
         if h.shape[1:3] != skip.shape[1:3]:
             h = resize_bilinear(h, skip.shape[1:3], align_corners=False)
         h = jnp.concatenate([h, skip], axis=-1)
-        h = call_block(dec_factory(f[i - 1], name=f"up_conv{i}"), h)
+        name = f"up_conv{i}"
+        h = call_block(dec_factory(f[i - 1], name=name), h, name)
 
     return Conv(out_channels, 1, name="final_conv", dtype=dtype)(h)

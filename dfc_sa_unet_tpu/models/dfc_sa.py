@@ -22,7 +22,7 @@ class UNetDFCSA(nn.Module):
     pool_size: int = 8
     qk_div: int = 8  # reference 'ablation_on_qk_channels'
     use_pallas: bool = False
-    remat: bool = False
+    remat: Any = False  # False | True/'all' | 'l12' (see blocks.unet_forward)
     dtype: Optional[Any] = None
 
     @nn.compact

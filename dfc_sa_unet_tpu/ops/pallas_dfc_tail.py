@@ -1,25 +1,37 @@
-"""Pallas TPU kernel: fused DFC-block tail (inference).
+"""Pallas TPU kernel: fused DFC-block tail (inference fast path).
 
-The tail of a DynamicFusionConvAttnBlock after the two branches
-(reference models/unet_dfc_sa_res.py:101-114) is a chain of 1x1 convs and
+The tail of a DynamicFusionConvAttnBlock after the attention branch
+(reference models/unet_dfc_sa_res.py:95-115) is a chain of 1x1 convs and
 elementwise ops:
 
-    g     = sigmoid(BN(Conv1x1([local ‖ attn])))
+    local = ReLU(y3 + bc)                        # 3x3-conv epilogue (BN folded)
+    g     = sigmoid(Conv1x1([local ‖ attn]))     # gate (BN folded)
     fused = g*local + (1-g)*attn
-    out   = ReLU(BN(Conv1x1([fused ‖ local ‖ attn]))) + res_scale*Conv1x1(x)
+    out   = ReLU(Conv1x1([fused ‖ local ‖ attn])) + Conv1x1(x)*res_scale
 
-At batch 128 these 1x1 stages are HBM-bandwidth-bound (arithmetic
-intensity ~44 FLOP/B < the bf16 ridge), and XLA cannot fuse across the
-two matmuls, so every intermediate makes an HBM round trip.  With
-BatchNorm folded into the conv weights (inference), this kernel computes
-the whole tail in one pass: each (batch, row-block) tile loads local/
-attn/x once, runs the three matmuls out of VMEM, and writes only the
-block output — ~3x less HBM traffic than the unfused chain.
+XLA's TPU conv emitter cannot absorb these epilogues: the profiler
+(PERF.md) shows each stage making a full HBM round trip — ~35 ms of a
+143 ms forward at batch 128.  This kernel computes the whole tail in one
+pass over flat [TILE_T, C] token tiles: per tile it loads y3/attn/x once,
+runs the three matmuls out of VMEM (weights resident across the grid),
+and writes only the block output.  HBM traffic drops from ~11 map
+traversals (3x3 epilogue pass, concat materializations, gate conv+BN+
+sigmoid, fusion conv+BN+ReLU, residual conv, final add) to 4.
 
 Weight layout (BN already folded by the caller, infer/engine.py):
+  bc [C]               — 3x3-conv bias + BN shift (the conv runs bias-free)
   wg [2C, C], bg [C]   — gate conv over the virtual concat [local ‖ attn]
   wf [3C, C], bf [C]   — fusion conv over [fused ‖ local ‖ attn]
   wr [Cin, C]          — residual projection, PRE-SCALED by res_scale
+
+To pass an already-activated ``local`` instead of the raw conv output,
+pass bc=0: ReLU(local + 0) == local since local >= 0.
+
+Round-1 history: the first version of this kernel tiled [1, 14, W, C]
+blocks and was only ever measured inside a slow einsum-based engine
+(PERF.md "engine v1"); this rewrite uses flat token tiles, in-kernel
+branch epilogues and bias-free convs upstream, and is benchmarked
+per-level against the XLA tail by scripts/bench_tail.py.
 """
 
 import functools
@@ -36,75 +48,100 @@ except ImportError:  # pragma: no cover
     pltpu = None
     _HAS_PLTPU = False
 
-_ROW_BLOCK = 14  # divides every spatial size in the 224-track (224..14)
 
+def _tail_kernel(y3_ref, a_ref, x_ref, bc_ref, wg_ref, bg_ref, wf_ref, bf_ref, wr_ref, o_ref):
+    c = y3_ref.shape[-1]
+    dtype = y3_ref.dtype
 
-def _tail_kernel(l_ref, a_ref, x_ref, wg_ref, bg_ref, wf_ref, bf_ref, wr_ref, o_ref):
-    c = l_ref.shape[-1]
-    t = l_ref.shape[1] * l_ref.shape[2]
-    l = l_ref[0].reshape(t, c)
-    a = a_ref[0].reshape(t, c)
-    x = x_ref[0].reshape(t, x_ref.shape[-1])
+    local_f = jnp.maximum(y3_ref[:].astype(jnp.float32) + bc_ref[:], 0.0)
+    local = local_f.astype(dtype)
+    a = a_ref[:]
 
-    wg = wg_ref[:]
     g_lin = (
-        jnp.dot(l, wg[:c], preferred_element_type=jnp.float32)
-        + jnp.dot(a, wg[c:], preferred_element_type=jnp.float32)
+        jnp.dot(local, wg_ref[:c], preferred_element_type=jnp.float32)
+        + jnp.dot(a, wg_ref[c:], preferred_element_type=jnp.float32)
         + bg_ref[:]
     )
     g = jax.nn.sigmoid(g_lin)
 
-    lf = l.astype(jnp.float32)
-    af = a.astype(jnp.float32)
-    fused = (g * lf + (1.0 - g) * af).astype(l.dtype)
+    a_f = a.astype(jnp.float32)
+    fused = (g * local_f + (1.0 - g) * a_f).astype(dtype)
 
-    wf = wf_ref[:]
     o = (
-        jnp.dot(fused, wf[:c], preferred_element_type=jnp.float32)
-        + jnp.dot(l, wf[c : 2 * c], preferred_element_type=jnp.float32)
-        + jnp.dot(a, wf[2 * c :], preferred_element_type=jnp.float32)
+        jnp.dot(fused, wf_ref[:c], preferred_element_type=jnp.float32)
+        + jnp.dot(local, wf_ref[c : 2 * c], preferred_element_type=jnp.float32)
+        + jnp.dot(a, wf_ref[2 * c :], preferred_element_type=jnp.float32)
         + bf_ref[:]
     )
     o = jnp.maximum(o, 0.0)
-    o = o + jnp.dot(x, wr_ref[:], preferred_element_type=jnp.float32)
-    o_ref[0] = o.reshape(l_ref.shape[1], l_ref.shape[2], c).astype(o_ref.dtype)
+    o = o + jnp.dot(x_ref[:], wr_ref[:], preferred_element_type=jnp.float32)
+    o_ref[:] = o.astype(o_ref.dtype)
+
+
+def _pick_tile(t: int, c: int, cin: int) -> int:
+    """Largest tile (multiple of 8 sublanes) dividing t with IO tiles
+    bounded to ~4 MB so double-buffered pipelining fits VMEM comfortably."""
+    row_bytes = (3 * c + cin) * 2  # y3 + a + out (C each) + x (Cin), bf16
+    budget = 4 * 2**20
+    for tile in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8):
+        if t % tile == 0 and tile * row_bytes <= budget:
+            return tile
+    return 0
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def fused_dfc_tail(local, attn, x, wg, bg, wf, bf, wr, interpret=False):
-    """local, attn: [B,H,W,C]; x: [B,H,W,Cin] -> [B,H,W,C].
+def fused_dfc_tail(y3, attn, x, bc, wg, bg, wf, bf, wr, interpret=False):
+    """y3 (raw 3x3-conv out), attn: [B,H,W,C]; x: [B,H,W,Cin] -> [B,H,W,C].
 
-    Requires H % 14 == 0 (the 224-resolution track); callers fall back to
-    the unfused path otherwise.
+    Flattens to [T, C] token tiles (free reshape: trailing dim unchanged).
+    Caller must check ``tail_supported(...)`` first.
     """
-    b, h, w, c = local.shape
+    b, h, w, c = y3.shape
     cin = x.shape[-1]
-    assert h % _ROW_BLOCK == 0, h
-    grid = (b, h // _ROW_BLOCK)
+    t = b * h * w
+    tile = _pick_tile(t, c, cin)
+    assert tile, (t, c, cin)
 
-    def row_map(i, j):
-        return (i, j, 0, 0)
+    y3f = y3.reshape(t, c)
+    af = attn.reshape(t, c)
+    xf = x.reshape(t, cin)
+
+    def row_map(i):
+        return (i, 0)
+
+    const = lambda i: (0, 0)  # noqa: E731
+    const1 = lambda i: (0,)  # noqa: E731
 
     kwargs = {}
     if _HAS_PLTPU and not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20,
         )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _tail_kernel,
-        out_shape=jax.ShapeDtypeStruct((b, h, w, c), local.dtype),
-        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((t, c), y3.dtype),
+        grid=(t // tile,),
         in_specs=[
-            pl.BlockSpec((1, _ROW_BLOCK, w, c), row_map),
-            pl.BlockSpec((1, _ROW_BLOCK, w, c), row_map),
-            pl.BlockSpec((1, _ROW_BLOCK, w, cin), row_map),
-            pl.BlockSpec((2 * c, c), lambda i, j: (0, 0)),
-            pl.BlockSpec((c,), lambda i, j: (0,)),
-            pl.BlockSpec((3 * c, c), lambda i, j: (0, 0)),
-            pl.BlockSpec((c,), lambda i, j: (0,)),
-            pl.BlockSpec((cin, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((tile, c), row_map),
+            pl.BlockSpec((tile, c), row_map),
+            pl.BlockSpec((tile, cin), row_map),
+            pl.BlockSpec((c,), const1),
+            pl.BlockSpec((2 * c, c), const),
+            pl.BlockSpec((c,), const1),
+            pl.BlockSpec((3 * c, c), const),
+            pl.BlockSpec((c,), const1),
+            pl.BlockSpec((cin, c), const),
         ],
-        out_specs=pl.BlockSpec((1, _ROW_BLOCK, w, c), row_map),
+        out_specs=pl.BlockSpec((tile, c), row_map),
         interpret=interpret,
         **kwargs,
-    )(local, attn, x, wg, bg, wf, bf, wr)
+    )(y3f, af, xf, bc, wg, bg, wf, bf, wr)
+    return out.reshape(b, h, w, c)
+
+
+def tail_supported(b: int, h: int, w: int, c: int, cin: int, max_channels: int = 512) -> bool:
+    """The kernel needs resident weights (wg+wf+wr <= ~a few MB; C<=512
+    keeps the bottleneck's 11 MB weight set out) and a clean tile split."""
+    if c > max_channels:
+        return False
+    return _pick_tile(b * h * w, c, cin) > 0

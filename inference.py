@@ -33,7 +33,6 @@ from dfc_sa_unet_tpu.config import load_config
 from dfc_sa_unet_tpu.infer.predictor import Predictor, load_image
 from dfc_sa_unet_tpu.metrics import metrics_from_counts
 from dfc_sa_unet_tpu.models.factory import ModelFactory
-from dfc_sa_unet_tpu.utils import checkpoint as ckpt_util
 from dfc_sa_unet_tpu.utils.visualization import create_combined_visualization, create_overlay
 
 
@@ -42,25 +41,14 @@ def _norm(p):
 
 
 def load_model_variables(model, model_path, img_size, in_channels=3):
-    """Load weights from an Orbax dir or a torch .pth."""
-    model_path = _norm(model_path)
-    x = jnp.zeros((1, img_size[0], img_size[1], in_channels), jnp.float32)
-    template = model.init(jax.random.key(0), x, train=False)
-    if model_path.endswith(".pth") or model_path.endswith(".pt"):
-        from dfc_sa_unet_tpu.utils.torch_convert import load_torch_checkpoint
+    """Load weights from an Orbax dir or a torch .pth (factory.load_variables)."""
+    from dfc_sa_unet_tpu.models.factory import load_variables
 
-        variables = load_torch_checkpoint(model_path, template)
-        print(f"Loaded PyTorch weights from {model_path}")
-    else:
-        tree = ckpt_util.restore_pytree(model_path)
-        if "params" not in tree:
-            raise ValueError(f"checkpoint at {model_path} has no 'params'")
-        variables = {"params": tree["params"]}
-        if tree.get("batch_stats") is not None:
-            variables["batch_stats"] = tree["batch_stats"]
-        epoch = tree.get("epoch")
-        print(f"Loaded checkpoint from {model_path}" + (f" (epoch {int(epoch) + 1})" if epoch is not None else ""))
-    return jax.tree.map(jnp.asarray, variables)
+    model_path = _norm(model_path)
+    variables = load_variables(model, model_path, img_size=img_size, in_channels=in_channels)
+    kind = "PyTorch weights" if model_path.endswith((".pth", ".pt")) else "checkpoint"
+    print(f"Loaded {kind} from {model_path}")
+    return variables
 
 
 def save_prediction(original_image, pred_prob, pred_binary, output_dir, filename, gt_mask=None):
@@ -94,13 +82,17 @@ def main(args):
     import cv2
 
     config = load_config(_norm(args.config))
-    if "pretrained_path" in config["model"]:
-        config["model"]["pretrained_path"] = None
     img_size = tuple(config["dataset"].get("img_size", [224, 224]))
+
+    # --model wins; the config's pretrained_path is the fallback (the
+    # reference loads pretrained_path inside get_model, model_factory.py:50-72)
+    model_path = args.model or config["model"].get("pretrained_path")
+    if not model_path:
+        raise SystemExit("no weights: pass --model or set model.pretrained_path in the config")
 
     dtype = jnp.bfloat16 if args.bf16 else None
     model = ModelFactory.get_model(config, dtype=dtype)
-    variables = load_model_variables(model, args.model, img_size, config["model"].get("in_channels", 3))
+    variables = load_model_variables(model, model_path, img_size, config["model"].get("in_channels", 3))
     apply_fn = None
     if args.engine:
         if config["model"]["name"] == "DFC-SA-Res-Block":
@@ -143,50 +135,78 @@ def main(args):
     all_metrics = []
     totals = {"tp": 0, "fp": 0, "fn": 0, "tn": 0}
 
-    for image_path in image_files:
-        filename = os.path.splitext(os.path.basename(image_path))[0]
-        if args.no_slide_window:
-            target = tuple(args.resize) if args.resize else None
+    from concurrent.futures import ThreadPoolExecutor
+
+    from tqdm import tqdm
+
+    from dfc_sa_unet_tpu.infer.predictor import prefetch
+
+    def decoded():
+        """Host decode (image + optional GT mask), run ahead of the device
+        in a prefetch thread — the reference decodes serially per image."""
+        for image_path in image_files:
+            filename = os.path.splitext(os.path.basename(image_path))[0]
+            target = tuple(args.resize) if (args.no_slide_window and args.resize) else None
             img, original = load_image(image_path, target_size=target)
-            if img is None:
+            if original is None:
                 continue
+            gt_gray = None
+            if evaluate:
+                mask_path = next(iter(glob.glob(os.path.join(mask_dir, f"{filename}.*"))), None)
+                if mask_path and os.path.exists(mask_path):
+                    _, gt_full = load_image(mask_path)
+                    if gt_full is not None:
+                        gt_gray = cv2.cvtColor(gt_full, cv2.COLOR_RGB2GRAY)
+                    else:
+                        print(f"Warning: could not load mask {mask_path}")
+                else:
+                    print(f"Warning: no mask found for '{filename}'")
+            yield filename, img, original, gt_gray
+
+    stream = decoded() if args.serial else prefetch(decoded(), depth=2)
+    saver = None if args.serial else ThreadPoolExecutor(max_workers=2)
+    pending = []
+
+    for filename, img, original, gt_gray in tqdm(
+        stream, total=len(image_files), desc="Inference"
+    ):  # reference inference.py:264
+        if args.no_slide_window:
             prob_small = predictor.predict_single(img)
             oh, ow = original.shape[:2]
             pred_prob = cv2.resize(prob_small, (ow, oh), interpolation=cv2.INTER_LINEAR)
         else:
-            _, original = load_image(image_path)
-            if original is None:
-                continue
             pred_prob = predictor.predict_sliding(
                 original, args.tile_size, args.overlap, args.batch_size, tta=args.tta
             )
         pred_binary = (pred_prob > args.threshold).astype(np.uint8)
 
         gt_mask = None
-        if evaluate:
-            mask_path = next(iter(glob.glob(os.path.join(mask_dir, f"{filename}.*"))), None)
-            if mask_path and os.path.exists(mask_path):
-                _, gt_full = load_image(mask_path)
-                if gt_full is not None:
-                    gt_gray = cv2.cvtColor(gt_full, cv2.COLOR_RGB2GRAY)
-                    ph, pw = pred_prob.shape
-                    gt_resized = (cv2.resize(gt_gray, (pw, ph), interpolation=cv2.INTER_NEAREST) > 128).astype(np.uint8)
-                    gt_mask = (gt_gray > 128).astype(np.uint8)
-                    tp = int(np.sum((pred_binary > 0) & (gt_resized > 0)))
-                    fp = int(pred_binary.sum()) - tp
-                    fn = int(gt_resized.sum()) - tp
-                    tn = pred_binary.size - tp - fp - fn
-                    for k, v in zip(("tp", "fp", "fn", "tn"), (tp, fp, fn, tn)):
-                        totals[k] += v
-                    m = metrics_from_counts(tp, fp, fn, tn)
-                    m.update({"file": filename, "tp": tp, "fp": fp, "fn": fn, "tn": tn})
-                    all_metrics.append(m)
-                else:
-                    print(f"Warning: could not load mask {mask_path}")
-            else:
-                print(f"Warning: no mask found for '{filename}'")
+        if gt_gray is not None:
+            ph, pw = pred_prob.shape
+            gt_resized = (cv2.resize(gt_gray, (pw, ph), interpolation=cv2.INTER_NEAREST) > 128).astype(np.uint8)
+            gt_mask = (gt_gray > 128).astype(np.uint8)
+            tp = int(np.sum((pred_binary > 0) & (gt_resized > 0)))
+            fp = int(pred_binary.sum()) - tp
+            fn = int(gt_resized.sum()) - tp
+            tn = pred_binary.size - tp - fp - fn
+            for k, v in zip(("tp", "fp", "fn", "tn"), (tp, fp, fn, tn)):
+                totals[k] += v
+            m = metrics_from_counts(tp, fp, fn, tn)
+            m.update({"file": filename, "tp": tp, "fp": fp, "fn": fn, "tn": tn})
+            all_metrics.append(m)
 
-        save_prediction(original, pred_prob, pred_binary, output_dir, filename, gt_mask=gt_mask)
+        if saver is None:
+            save_prediction(original, pred_prob, pred_binary, output_dir, filename, gt_mask=gt_mask)
+        else:
+            # PNG encode/write overlaps the next image's decode + predict
+            pending.append(saver.submit(
+                save_prediction, original, pred_prob, pred_binary, output_dir, filename, gt_mask
+            ))
+
+    if saver is not None:
+        for f in pending:
+            f.result()
+        saver.shutdown()
 
     if evaluate and all_metrics:
         g = metrics_from_counts(totals["tp"], totals["fp"], totals["fn"], totals["tn"])
@@ -220,7 +240,9 @@ def main(args):
 if __name__ == "__main__":
     parser = argparse.ArgumentParser(description="Run inference (sliding window, TTA, metrics)")
     parser.add_argument("--config", type=str, required=True)
-    parser.add_argument("--model", "--model_path", dest="model", type=str, required=True)
+    parser.add_argument("--model", "--model_path", dest="model", type=str, default=None,
+                        help="weights (Orbax dir or torch .pth); falls back to "
+                             "the config's model.pretrained_path")
     parser.add_argument("--input", type=str, required=True)
     parser.add_argument("--output", "--output_dir", dest="output", type=str, default="results")
     parser.add_argument("--csv_dir", type=str, default=None)
@@ -234,4 +256,6 @@ if __name__ == "__main__":
     parser.add_argument("--engine", action="store_true",
                         help="folded+fused inference engine (DFC-SA-Res-Block)")
     parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--serial", action="store_true",
+                        help="disable decode/compute/save pipelining (A/B timing)")
     main(parser.parse_args())

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Training-step throughput on the real chip: batch x remat-mode sweep.
+
+Times the full jitted train step (forward + backward + clip + SGD update
++ BN stats) on synthetic data, scan-chained like bench.py (the tunneled
+backend's block_until_ready returns early — CLAUDE.md).
+
+    python scripts/bench_train.py [--batches 64,128,256] [--remat l12]
+        [--fp32] [--k 4] [--loss bce_dice]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dfc_sa_unet_tpu.losses import compute_loss
+from dfc_sa_unet_tpu.models.factory import create_model
+from dfc_sa_unet_tpu.train import optim
+
+
+def build_step(model, tx, loss_type, dtype):
+    def step(params, batch_stats, opt_state, x, t):
+        def loss_fn(params):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": batch_stats}, x, train=True,
+                mutable=["batch_stats"],
+            )
+            probs = jax.nn.sigmoid(out.astype(jnp.float32))
+            return compute_loss(probs, t, loss_type, {}), mut["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return new_params, new_stats, new_opt, loss
+
+    return step
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batches", type=str, default="128,256")
+    p.add_argument("--remat", type=str, default="l12", choices=["none", "l12", "all"])
+    p.add_argument("--fp32", action="store_true")
+    p.add_argument("--k", type=int, default=4)
+    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--loss", type=str, default="bce_dice")
+    p.add_argument("--size", type=int, default=224)
+    args = p.parse_args()
+    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+    remat = False if args.remat == "none" else args.remat
+
+    cfg = {"model": {"name": "DFC-SA-Res-Block", "features": [64, 128, 256, 512],
+                     "pool_size": 8, "remat": remat}}
+    model = create_model(cfg, dtype=None if args.fp32 else jnp.bfloat16)
+    tx = optim.sgd_with_clip(0.01, 0.9, 1e-4, clip_norm=1.0)
+    step = build_step(model, tx, args.loss, dtype)
+
+    s = args.size
+    variables = model.init(jax.random.key(0), jnp.zeros((1, s, s, 3), dtype), train=False)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    opt_state = tx.init(params)
+    print(f"device={jax.devices()[0]} remat={args.remat} dtype={dtype.__name__}")
+
+    for b in [int(x) for x in args.batches.split(",")]:
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((b, s, s, 3)).astype(np.float32), dtype)
+        t = jnp.asarray((rng.random((b, s, s, 1)) > 0.5).astype(np.float32))
+
+        @jax.jit
+        def chained(params, batch_stats, opt_state, x, t):
+            def body(carry, _):
+                params, batch_stats, opt_state = carry
+                params, batch_stats, opt_state, loss = step(params, batch_stats, opt_state, x, t)
+                return (params, batch_stats, opt_state), loss
+
+            (params, batch_stats, opt_state), losses = jax.lax.scan(
+                body, (params, batch_stats, opt_state), None, length=args.k
+            )
+            return losses[-1]
+
+        try:
+            float(chained(params, batch_stats, opt_state, x, t))  # compile
+            dt = min(
+                (lambda t0: (float(chained(params, batch_stats, opt_state, x, t)),
+                             time.perf_counter() - t0)[1])(time.perf_counter())
+                for _ in range(args.repeats)
+            ) / args.k
+            print(f"batch {b:>4}: {dt * 1e3:8.1f} ms/step -> {b / dt:7.1f} img/s", flush=True)
+        except Exception as e:  # noqa: BLE001 — remote-compile OOM etc.
+            print(f"batch {b:>4}: FAILED {type(e).__name__}: {str(e)[:200]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

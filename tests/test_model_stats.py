@@ -1,0 +1,43 @@
+"""model_stats helpers: per-leaf param table and forward architecture
+summary (reference model_stats.py:15-36, 70-114)."""
+
+import importlib.util
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+spec = importlib.util.spec_from_file_location("model_stats_cli", os.path.join(_ROOT, "model_stats.py"))
+ms = importlib.util.module_from_spec(spec)
+sys.modules["model_stats_cli"] = ms
+spec.loader.exec_module(ms)
+
+from dfc_sa_unet_tpu.models.factory import create_model  # noqa: E402
+
+CFG = {"model": {"name": "DFC-SA-Res-Block", "features": [8, 16, 24, 32], "pool_size": 4}}
+
+
+def test_leaf_table_and_forward_summary():
+    model = create_model(CFG)
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    variables = model.init(jax.random.key(0), x, train=False)
+
+    leaf_rows = ms.leaf_parameter_rows(variables["params"])
+    names = [r[0] for r in leaf_rows]
+    # leaf modules, not just top-level aggregates
+    assert "down1.conv_branch_0" in names
+    assert "down1.attn_branch_3.query_conv" in names
+    # totals agree with the aggregate table
+    _, total = ms.count_parameters(variables["params"])
+    assert sum(n for _, n in leaf_rows) == total
+
+    rows = ms.forward_summary(model, variables, x)
+    by_name = {r[0]: r for r in rows}
+    # one row per called submodule with its NHWC output shape and params
+    assert by_name["down1/conv_branch_0"][1] == (1, 32, 32, 8)
+    assert by_name["down1/conv_branch_0"][2] == 3 * 3 * 3 * 8 + 8
+    assert by_name["final_conv"][1] == (1, 32, 32, 1)
+    # decoder levels present (full forward was traced)
+    assert any(name.startswith("up_conv1") for name in by_name)

@@ -65,8 +65,11 @@ class DFCEngine:
         config: Mapping[str, Any],
         variables: Mapping[str, Any],
         dtype=jnp.bfloat16,
-        use_pallas: bool = False,  # measured slower than lax.conv at C=64 (PERF.md)
-        pallas_max_channels: int = 512,
+        use_pallas: bool = True,
+        # Per-level A/B on the chip (scripts/bench_tail.py, PERF.md): the
+        # fused tail wins at C<=256 (1.1-1.6x; C=64 via token packing) and
+        # loses at C=512 (0.8x) and the C=1024 bottleneck — gate it there.
+        pallas_max_channels: int = 256,
     ):
         m = config["model"]
         assert m["name"] == "DFC-SA-Res-Block", m["name"]
@@ -196,6 +199,7 @@ class DFCEngine:
         if (
             self.use_pallas
             and d["wr"] is not None
+            and x.shape[-1] >= 16  # down1 (Cin=3) measured 0.96x — stays on XLA
             and tail_supported(b, h, w, c, x.shape[-1], self.pallas_max_channels)
         ):
             return fused_dfc_tail(

@@ -78,6 +78,30 @@ def _tail_kernel(y3_ref, a_ref, x_ref, bc_ref, wg_ref, bg_ref, wf_ref, bf_ref, w
     o_ref[:] = o.astype(o_ref.dtype)
 
 
+def _blockdiag2(w):
+    """[K, C] -> [2K, 2C] block-diagonal diag(w, w)."""
+    z = jnp.zeros_like(w)
+    return jnp.concatenate(
+        [jnp.concatenate([w, z], axis=1), jnp.concatenate([z, w], axis=1)], axis=0
+    )
+
+
+def _pack_weights(c, bc, wg, bg, wf, bf, wr):
+    """Token-packing x2 for C<=64 levels: two adjacent tokens share one
+    [*, 2C] row so the MXU contractions run at K,N >= 128 instead of 64
+    (a [T,64]@[64,64] dot wastes 3/4 of the systolic array; the packed
+    [T/2,128]@[128,128] block-diagonal form doubles nominal FLOPs but
+    quadruples utilization — net ~2x).  Free reshapes: row-major [T, C]
+    == [T/2, 2C] bitwise."""
+    bc2, bg2, bf2 = (jnp.tile(v, 2) for v in (bc, bg, bf))
+    wg2 = jnp.concatenate([_blockdiag2(wg[:c]), _blockdiag2(wg[c:])], axis=0)
+    wf2 = jnp.concatenate(
+        [_blockdiag2(wf[:c]), _blockdiag2(wf[c : 2 * c]), _blockdiag2(wf[2 * c :])], axis=0
+    )
+    wr2 = _blockdiag2(wr)
+    return bc2, wg2, bg2, wf2, bf2, wr2
+
+
 def _pick_tile(t: int, c: int, cin: int) -> int:
     """Largest tile (multiple of 8 sublanes) dividing t with IO tiles
     bounded to ~4 MB so double-buffered pipelining fits VMEM comfortably."""
@@ -96,9 +120,13 @@ def fused_dfc_tail(y3, attn, x, bc, wg, bg, wf, bf, wr, interpret=False):
     Flattens to [T, C] token tiles (free reshape: trailing dim unchanged).
     Caller must check ``tail_supported(...)`` first.
     """
-    b, h, w, c = y3.shape
+    b, h, w, c_out = y3.shape
     cin = x.shape[-1]
     t = b * h * w
+    c = c_out
+    if c <= 64 and t % 2 == 0:  # token-pack x2 to fill the MXU lanes
+        bc, wg, bg, wf, bf, wr = _pack_weights(c, bc, wg, bg, wf, bf, wr)
+        t, c, cin = t // 2, 2 * c, 2 * cin
     tile = _pick_tile(t, c, cin)
     assert tile, (t, c, cin)
 
@@ -136,7 +164,7 @@ def fused_dfc_tail(y3, attn, x, bc, wg, bg, wf, bf, wr, interpret=False):
         interpret=interpret,
         **kwargs,
     )(y3f, af, xf, bc, wg, bg, wf, bf, wr)
-    return out.reshape(b, h, w, c)
+    return out.reshape(b, h, w, c_out)
 
 
 def tail_supported(b: int, h: int, w: int, c: int, cin: int, max_channels: int = 512) -> bool:
@@ -144,4 +172,7 @@ def tail_supported(b: int, h: int, w: int, c: int, cin: int, max_channels: int =
     keeps the bottleneck's 11 MB weight set out) and a clean tile split."""
     if c > max_channels:
         return False
-    return _pick_tile(b * h * w, c, cin) > 0
+    t = b * h * w
+    if c <= 64 and t % 2 == 0:  # mirrors the token-packing in fused_dfc_tail
+        t, c, cin = t // 2, 2 * c, 2 * cin
+    return _pick_tile(t, c, cin) > 0

@@ -39,10 +39,17 @@ def fold_conv_bn(kernel, bias, bn_params, bn_stats, eps: float = 1e-5):
     return k, b
 
 
+def _pet(x):
+    """Conv/einsum output dtype: f32 in parity mode, else the compute dtype
+    (the MXU accumulates f32 internally either way; an f32 output would be
+    written to HBM at double width and converted in a separate pass)."""
+    return jnp.float32 if x.dtype == jnp.float32 else x.dtype
+
+
 def _conv(x, kernel, bias, padding):
     y = jax.lax.conv_general_dilated(
         x, kernel.astype(x.dtype), (1, 1), ((padding, padding), (padding, padding)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), preferred_element_type=jnp.float32,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), preferred_element_type=_pet(x),
     )
     return (y + bias).astype(x.dtype)
 
@@ -177,7 +184,7 @@ class DFCEngine:
         if d["kr"] is not None:
             res = jax.lax.conv_general_dilated(
                 x, d["kr"].astype(x.dtype), (1, 1), ((0, 0), (0, 0)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"), preferred_element_type=jnp.float32,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"), preferred_element_type=_pet(x),
             )
             o = o + res
         else:
@@ -191,7 +198,7 @@ class DFCEngine:
         # fused tail kernel (or one XLA fusion pass on the fallback path)
         y3 = jax.lax.conv_general_dilated(
             x, kc.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"), preferred_element_type=jnp.float32,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), preferred_element_type=_pet(x),
         ).astype(x.dtype)
         a = jnp.maximum(_conv(x, *d["attn0"], padding=0).astype(jnp.float32), 0.0).astype(x.dtype)
         a = self._lsa(d["lsa"], a)

@@ -27,8 +27,12 @@ def conv_transpose_2x2(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | 
     assert (kh, kw) == (2, 2) and cin == c, (kernel.shape, x.shape)
     # [B,H,W,C] @ [C, 2*2*O] -> [B,H,W,2,2,O]
     k2 = kernel.transpose(2, 0, 1, 3).reshape(cin, 4 * cout)
-    prec = None if x.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
-    y = jnp.einsum("bhwc,ck->bhwk", x, k2, preferred_element_type=jnp.float32, precision=prec)
+    bf16 = x.dtype == jnp.bfloat16
+    prec = None if bf16 else jax.lax.Precision.HIGHEST
+    # bf16 mode emits bf16 (f32 MXU accumulation either way) — avoids an
+    # f32 HBM write + separate convert pass on the full-resolution map
+    y = jnp.einsum("bhwc,ck->bhwk", x, k2,
+                   preferred_element_type=x.dtype if bf16 else jnp.float32, precision=prec)
     y = y.reshape(b, h, w, 2, 2, cout)
     # interleave: out[b, h*2+u, w*2+v, o]
     y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, cout)

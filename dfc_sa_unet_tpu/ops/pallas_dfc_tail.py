@@ -9,14 +9,22 @@ elementwise ops:
     fused = g*local + (1-g)*attn
     out   = ReLU(Conv1x1([fused ‖ local ‖ attn])) + Conv1x1(x)*res_scale
 
-XLA's TPU conv emitter cannot absorb these epilogues: the profiler
-(PERF.md) shows each stage making a full HBM round trip — ~35 ms of a
-143 ms forward at batch 128.  This kernel computes the whole tail in one
-pass over flat [TILE_T, C] token tiles: per tile it loads y3/attn/x once,
-runs the three matmuls out of VMEM (weights resident across the grid),
-and writes only the block output.  HBM traffic drops from ~11 map
-traversals (3x3 epilogue pass, concat materializations, gate conv+BN+
-sigmoid, fusion conv+BN+ReLU, residual conv, final add) to 4.
+XLA's TPU conv emitter cannot absorb these epilogues: each stage makes a
+full HBM round trip (PERF.md profiler breakdown).  This kernel computes
+the whole tail in one pass: per tile it loads y3/attn/x once, runs the
+three matmuls out of VMEM (weights resident across the grid), and writes
+only the block output.
+
+Layout discipline (the round-2 lesson, PERF.md): TPU physical layout
+tiles the LAST TWO dims (W, C) of an NHWC tensor.  The first version of
+this kernel reshaped activations to flat [T, C] tokens outside the
+kernel — that retiles T=B*H*W into the sublane dim and cost ~18 ms of
+physical reshapes plus ~24 ms of boundary copies per forward, more than
+the kernel saved.  This version block-specs the 4-D NHWC tensors
+directly ((1, rows, W, C) tiles over a (B, H/rows) grid) and collapses
+to [rows*W, C] *inside* the kernel — a pure sublane collapse (W stays a
+multiple of 8), so the kernel streams the conv outputs in their native
+tiling with no relayout at either boundary.
 
 Weight layout (BN already folded by the caller, infer/engine.py):
   bc [C]               — 3x3-conv bias + BN shift (the conv runs bias-free)
@@ -26,12 +34,6 @@ Weight layout (BN already folded by the caller, infer/engine.py):
 
 To pass an already-activated ``local`` instead of the raw conv output,
 pass bc=0: ReLU(local + 0) == local since local >= 0.
-
-Round-1 history: the first version of this kernel tiled [1, 14, W, C]
-blocks and was only ever measured inside a slow einsum-based engine
-(PERF.md "engine v1"); this rewrite uses flat token tiles, in-kernel
-branch epilogues and bias-free convs upstream, and is benchmarked
-per-level against the XLA tail by scripts/bench_tail.py.
 """
 
 import functools
@@ -50,12 +52,17 @@ except ImportError:  # pragma: no cover
 
 
 def _tail_kernel(y3_ref, a_ref, x_ref, bc_ref, wg_ref, bg_ref, wf_ref, bf_ref, wr_ref, o_ref):
-    c = y3_ref.shape[-1]
+    _, rh, w, c = y3_ref.shape
+    cin = x_ref.shape[-1]
     dtype = y3_ref.dtype
 
-    local_f = jnp.maximum(y3_ref[:].astype(jnp.float32) + bc_ref[:], 0.0)
+    # sublane collapse (W % 8 == 0, C unchanged) — free in Mosaic
+    y3 = y3_ref[:].reshape(rh * w, c)
+    a = a_ref[:].reshape(rh * w, c)
+    x = x_ref[:].reshape(rh * w, cin)
+
+    local_f = jnp.maximum(y3.astype(jnp.float32) + bc_ref[:], 0.0)
     local = local_f.astype(dtype)
-    a = a_ref[:]
 
     g_lin = (
         jnp.dot(local, wg_ref[:c], preferred_element_type=jnp.float32)
@@ -74,105 +81,69 @@ def _tail_kernel(y3_ref, a_ref, x_ref, bc_ref, wg_ref, bg_ref, wf_ref, bf_ref, w
         + bf_ref[:]
     )
     o = jnp.maximum(o, 0.0)
-    o = o + jnp.dot(x_ref[:], wr_ref[:], preferred_element_type=jnp.float32)
-    o_ref[:] = o.astype(o_ref.dtype)
+    o = o + jnp.dot(x, wr_ref[:], preferred_element_type=jnp.float32)
+    o_ref[:] = o.astype(o_ref.dtype).reshape(1, rh, w, c)
 
 
-def _blockdiag2(w):
-    """[K, C] -> [2K, 2C] block-diagonal diag(w, w)."""
-    z = jnp.zeros_like(w)
-    return jnp.concatenate(
-        [jnp.concatenate([w, z], axis=1), jnp.concatenate([z, w], axis=1)], axis=0
-    )
-
-
-def _pack_weights(c, bc, wg, bg, wf, bf, wr):
-    """Token-packing x2 for C<=64 levels: two adjacent tokens share one
-    [*, 2C] row so the MXU contractions run at K,N >= 128 instead of 64
-    (a [T,64]@[64,64] dot wastes 3/4 of the systolic array; the packed
-    [T/2,128]@[128,128] block-diagonal form doubles nominal FLOPs but
-    quadruples utilization — net ~2x).  Free reshapes: row-major [T, C]
-    == [T/2, 2C] bitwise."""
-    bc2, bg2, bf2 = (jnp.tile(v, 2) for v in (bc, bg, bf))
-    wg2 = jnp.concatenate([_blockdiag2(wg[:c]), _blockdiag2(wg[c:])], axis=0)
-    wf2 = jnp.concatenate(
-        [_blockdiag2(wf[:c]), _blockdiag2(wf[c : 2 * c]), _blockdiag2(wf[2 * c :])], axis=0
-    )
-    wr2 = _blockdiag2(wr)
-    return bc2, wg2, bg2, wf2, bf2, wr2
-
-
-def _pick_tile(t: int, c: int, cin: int) -> int:
-    """Largest tile (multiple of 8 sublanes) dividing t with IO tiles
-    bounded to ~4 MB so double-buffered pipelining fits VMEM comfortably."""
-    row_bytes = (3 * c + cin) * 2  # y3 + a + out (C each) + x (Cin), bf16
+def _pick_rows(h: int, w: int, c: int, cin: int) -> int:
+    """Largest row count (dividing h, rows*w a multiple of 8 sublanes) with
+    IO tiles bounded to ~4 MB so double-buffered pipelining fits VMEM."""
+    row_bytes = w * (3 * c + cin) * 2  # y3 + a + out (C each) + x (Cin), bf16
     budget = 4 * 2**20
-    for tile in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8):
-        if t % tile == 0 and tile * row_bytes <= budget:
-            return tile
-    return 0
+    best = 0
+    for rh in range(1, h + 1):
+        if h % rh == 0 and (rh * w) % 8 == 0 and rh * row_bytes <= budget:
+            best = rh
+    return best
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_dfc_tail(y3, attn, x, bc, wg, bg, wf, bf, wr, interpret=False):
     """y3 (raw 3x3-conv out), attn: [B,H,W,C]; x: [B,H,W,Cin] -> [B,H,W,C].
 
-    Flattens to [T, C] token tiles (free reshape: trailing dim unchanged).
     Caller must check ``tail_supported(...)`` first.
     """
-    b, h, w, c_out = y3.shape
+    b, h, w, c = y3.shape
     cin = x.shape[-1]
-    t = b * h * w
-    c = c_out
-    if c <= 64 and t % 2 == 0:  # token-pack x2 to fill the MXU lanes
-        bc, wg, bg, wf, bf, wr = _pack_weights(c, bc, wg, bg, wf, bf, wr)
-        t, c, cin = t // 2, 2 * c, 2 * cin
-    tile = _pick_tile(t, c, cin)
-    assert tile, (t, c, cin)
+    rh = _pick_rows(h, w, c, cin)
+    assert rh, (b, h, w, c, cin)
 
-    y3f = y3.reshape(t, c)
-    af = attn.reshape(t, c)
-    xf = x.reshape(t, cin)
+    def blk(i, j):
+        return (i, j, 0, 0)
 
-    def row_map(i):
-        return (i, 0)
-
-    const = lambda i: (0, 0)  # noqa: E731
-    const1 = lambda i: (0,)  # noqa: E731
+    const2 = lambda i, j: (0, 0)  # noqa: E731
+    const1 = lambda i, j: (0,)  # noqa: E731
 
     kwargs = {}
     if _HAS_PLTPU and not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20,
         )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         _tail_kernel,
-        out_shape=jax.ShapeDtypeStruct((t, c), y3.dtype),
-        grid=(t // tile,),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), y3.dtype),
+        grid=(b, h // rh),
         in_specs=[
-            pl.BlockSpec((tile, c), row_map),
-            pl.BlockSpec((tile, c), row_map),
-            pl.BlockSpec((tile, cin), row_map),
+            pl.BlockSpec((1, rh, w, c), blk),
+            pl.BlockSpec((1, rh, w, c), blk),
+            pl.BlockSpec((1, rh, w, cin), blk),
             pl.BlockSpec((c,), const1),
-            pl.BlockSpec((2 * c, c), const),
+            pl.BlockSpec((2 * c, c), const2),
             pl.BlockSpec((c,), const1),
-            pl.BlockSpec((3 * c, c), const),
+            pl.BlockSpec((3 * c, c), const2),
             pl.BlockSpec((c,), const1),
-            pl.BlockSpec((cin, c), const),
+            pl.BlockSpec((cin, c), const2),
         ],
-        out_specs=pl.BlockSpec((tile, c), row_map),
+        out_specs=pl.BlockSpec((1, rh, w, c), blk),
         interpret=interpret,
         **kwargs,
-    )(y3f, af, xf, bc, wg, bg, wf, bf, wr)
-    return out.reshape(b, h, w, c_out)
+    )(y3, attn, x, bc, wg, bg, wf, bf, wr)
 
 
 def tail_supported(b: int, h: int, w: int, c: int, cin: int, max_channels: int = 512) -> bool:
     """The kernel needs resident weights (wg+wf+wr <= ~a few MB; C<=512
-    keeps the bottleneck's 11 MB weight set out) and a clean tile split."""
+    keeps the bottleneck's 11 MB weight set out) and a clean row split
+    whose collapse to [rows*W, C] stays sublane-aligned."""
     if c > max_channels:
         return False
-    t = b * h * w
-    if c <= 64 and t % 2 == 0:  # mirrors the token-packing in fused_dfc_tail
-        t, c, cin = t // 2, 2 * c, 2 * cin
-    return _pick_tile(t, c, cin) > 0
+    return _pick_rows(h, w, c, cin) > 0

@@ -52,8 +52,11 @@ def adaptive_avg_pool(x: jnp.ndarray, output_size) -> jnp.ndarray:
     prec = None if bf16 else jax.lax.Precision.HIGHEST
     ah = adaptive_pool_matrix(h, p_h).astype(orig_dtype if bf16 else jnp.float32)
     aw = adaptive_pool_matrix(w, p_w).astype(orig_dtype if bf16 else jnp.float32)
-    y = jnp.einsum("ph,bhwc->bpwc", ah, x, preferred_element_type=jnp.float32, precision=prec)
-    y = jnp.einsum("qw,bpwc->bpqc", aw, y, preferred_element_type=jnp.float32, precision=prec)
+    # bf16 mode: emit bf16 (MXU still accumulates f32 internally) so no
+    # separate f32->bf16 convert pass / double-width HBM write is needed
+    pet = orig_dtype if bf16 else jnp.float32
+    y = jnp.einsum("ph,bhwc->bpwc", ah, x, preferred_element_type=pet, precision=prec)
+    y = jnp.einsum("qw,bpwc->bpqc", aw, y, preferred_element_type=pet, precision=prec)
     return y.astype(orig_dtype)
 
 

@@ -74,7 +74,9 @@ def resize_bilinear(x: jnp.ndarray, size, align_corners: bool = False) -> jnp.nd
     prec = None if bf16 else jax.lax.Precision.HIGHEST
     wh = bilinear_matrix(h_in, h_out, align_corners).astype(orig_dtype if bf16 else jnp.float32)
     ww = bilinear_matrix(w_in, w_out, align_corners).astype(orig_dtype if bf16 else jnp.float32)
-    # Contract H then W, accumulating in f32 on the MXU.
-    y = jnp.einsum("oh,bhwc->bowc", wh, x, preferred_element_type=jnp.float32, precision=prec)
-    y = jnp.einsum("pw,bowc->bopc", ww, y, preferred_element_type=jnp.float32, precision=prec)
+    # Contract H then W; the MXU accumulates f32 internally either way.
+    # bf16 mode emits bf16 directly (no separate convert pass / f32 write).
+    pet = orig_dtype if bf16 else jnp.float32
+    y = jnp.einsum("oh,bhwc->bowc", wh, x, preferred_element_type=pet, precision=prec)
+    y = jnp.einsum("pw,bowc->bopc", ww, y, preferred_element_type=pet, precision=prec)
     return y.astype(orig_dtype)

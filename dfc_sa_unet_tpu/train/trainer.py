@@ -423,5 +423,8 @@ class Trainer:
         m, s = divmod(rem, 60)
         print(f"Training completed in {int(h)}h {int(m)}m {int(s)}s")
         print(f"Best validation dice: {self.best_val_dice:.4f}")
-        print(f"Best model saved to {self.best_model_path}")
+        if os.path.isdir(self.best_model_path):
+            print(f"Best model saved to {self.best_model_path}")
+        else:  # val dice never exceeded 0.0 — nothing was saved
+            print("No best model saved (validation dice never improved)")
         return state

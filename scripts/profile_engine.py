@@ -29,22 +29,24 @@ SIZE = 224
 
 def categorize(name: str) -> str:
     n = name.lower()
-    if "custom-call" in n or "tpu_custom_call" in n or "pallas" in n:
+    if "while" in n or "scan" in n:
+        return "loop-wrapper"  # contains everything else; excluded from total
+    if "fused_dfc_tail" in n or "custom-call" in n or "pallas" in n:
         return "pallas"
-    if "convolution" in n or "conv" in n:
-        return "conv"
-    if "copy" in n or "transpose" in n or "bitcast" in n:
+    if "reshape" in n:
+        return "reshape"
+    if "copy" in n or "transpose" in n:
         return "copy/relayout"
+    if "convolution" in n:
+        return "conv"
+    if "convert_fusion" in n or "_convert" in n:
+        return "epilogue-fusion"
     if "fusion" in n:
         return "fusion"
     if "dot" in n or "einsum" in n:
         return "dot"
-    if "reduce-window" in n or "reduce_window" in n:
-        return "reduce_window"
-    if "concatenate" in n:
-        return "concat"
-    if "dynamic" in n or "scan" in n or "while" in n:
-        return "loop"
+    if "concatenate" in n or "pad" in n:
+        return "concat/pad"
     return "other"
 
 
@@ -70,7 +72,7 @@ def analyze(trace_dir: str, label: str, k: int):
         cat = categorize(str(name) + " " + str(hlo))
         by_cat[cat] += ev["dur"]
         by_name[name.split(".")[0]] += ev["dur"]
-    total = sum(by_cat.values())
+    total = sum(us for cat, us in by_cat.items() if cat != "loop-wrapper")
     print(f"\n[{label}] device op time {total / 1e3 / k:.2f} ms/iter over {k} iters, by category:")
     for cat, us in by_cat.most_common():
         print(f"  {cat:<16} {us / 1e3 / k:8.2f} ms  {100 * us / total:5.1f}%")

@@ -5,7 +5,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from dfc_sa_unet_tpu.ops.pallas_dfc_tail import _pick_tile, fused_dfc_tail, tail_supported
+from dfc_sa_unet_tpu.ops.pallas_dfc_tail import _pick_rows, fused_dfc_tail, tail_supported
 
 
 def _reference_tail(y3, a, x, bc, wg, bg, wf, bf, wr):
@@ -49,12 +49,13 @@ def test_tail_kernel_multiple_tiles():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4)
 
 
-def test_pick_tile_and_supported():
-    # the 224-track level shapes at batch 128 all split cleanly
-    for h, c, cin in [(224, 64, 3), (112, 128, 64), (56, 256, 128), (28, 512, 256),
-                      (224, 64, 128), (112, 128, 256), (56, 256, 512), (28, 512, 1024)]:
-        t = 128 * h * h
-        assert _pick_tile(t, c, cin) >= 256, (h, c, cin)
+def test_pick_rows_and_supported():
+    # the 224-track level shapes at batch 128 all split cleanly into
+    # (1, rows, W, C) tiles whose [rows*W, C] collapse is sublane-aligned
+    for h, c, cin in [(224, 64, 3), (112, 128, 64), (56, 256, 128),
+                      (224, 64, 128), (112, 128, 256), (56, 256, 512)]:
+        rh = _pick_rows(h, h, c, cin)
+        assert rh >= 1 and h % rh == 0 and (rh * h) % 8 == 0, (h, c, cin, rh)
         assert tail_supported(128, h, h, c, cin)
     # bottleneck C=1024 is excluded (weights would not stay VMEM-resident)
     assert not tail_supported(128, 14, 14, 1024, 512)

@@ -26,6 +26,7 @@ import numpy as np
 
 from dfc_sa_unet_tpu.ops.attention import pooled_self_attention
 from dfc_sa_unet_tpu.ops.convt import conv_transpose_2x2
+from dfc_sa_unet_tpu.ops.pallas_conv import conv_supported, dfc_tail_from_x
 from dfc_sa_unet_tpu.ops.pallas_dfc_tail import fused_dfc_tail, tail_supported
 from dfc_sa_unet_tpu.ops.pooling import adaptive_avg_pool, max_pool
 from dfc_sa_unet_tpu.ops.resize import resize_bilinear
@@ -77,6 +78,11 @@ class DFCEngine:
         # fused tail wins at C<=256 (1.1-1.6x; C=64 via token packing) and
         # loses at C=512 (0.8x) and the C=1024 bottleneck — gate it there.
         pallas_max_channels: int = 256,
+        # all-Pallas blocks: the 3x3 conv AND the whole DFC tail run in one
+        # Pallas kernel per level (ops/pallas_conv.dfc_tail_from_x), so no
+        # pallas_call ever consumes an XLA conv output (the boundary-relayout
+        # trap, PERF.md).  None = off; or a set of level names / "auto".
+        pallas_conv_levels=None,
     ):
         m = config["model"]
         assert m["name"] == "DFC-SA-Res-Block", m["name"]
@@ -85,6 +91,10 @@ class DFCEngine:
         self.dtype = dtype
         self.use_pallas = use_pallas
         self.pallas_max_channels = pallas_max_channels
+        if pallas_conv_levels == "auto":
+            pallas_conv_levels = {"down2", "down3", "down4", "up_conv4", "up_conv3",
+                                  "up_conv2", "up_conv1"}
+        self.pallas_conv_levels = set(pallas_conv_levels or ())
         self.interpret = jax.default_backend() not in ("tpu", "axon")
         self.blocks = {}
         params = variables["params"]
@@ -194,6 +204,20 @@ class DFCEngine:
     def _block(self, name, x):
         d = self.blocks[name]
         kc, bc = d["conv"]
+        if name in self.pallas_conv_levels and conv_supported(
+            x.shape[0], x.shape[1], x.shape[2], x.shape[-1], kc.shape[-1]
+        ):
+            a = jnp.maximum(
+                _conv(x, *d["attn0"], padding=0).astype(jnp.float32), 0.0
+            ).astype(x.dtype)
+            a = self._lsa(d["lsa"], a)
+            wr = d["wr"]
+            if wr is None:  # identity residual (Cin == C): eye * res_scale
+                wr = (jnp.eye(kc.shape[-1], dtype=jnp.float32) * d["res_scale"]).astype(x.dtype)
+            return dfc_tail_from_x(
+                x, a, kc, d["bc"], d["wg"], d["bg"], d["wf"], d["bf"], wr,
+                interpret=self.interpret,
+            )
         # bias-free 3x3 conv: the +bc / ReLU epilogue is applied in the
         # fused tail kernel (or one XLA fusion pass on the fallback path)
         y3 = jax.lax.conv_general_dilated(

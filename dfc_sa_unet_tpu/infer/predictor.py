@@ -143,7 +143,7 @@ class Predictor:
         image_u8: np.ndarray,
         tile_size: int = 224,
         overlap: int = 50,
-        batch_size: int = 32,
+        batch_size: int = 128,
         tta: bool = False,
     ) -> np.ndarray:
         """Overlap-averaged sliding-window prediction

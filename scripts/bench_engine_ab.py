@@ -65,6 +65,12 @@ def main():
     for v in args.variants.split(","):
         if v == "module":
             fns[v] = lambda x: model.apply(variables, x, train=False)
+        elif v.startswith("engine_conv"):
+            # engine_conv = all supported levels; engine_conv:down2+up_conv1 = subset
+            levels = "auto" if ":" not in v else set(v.split(":", 1)[1].split("+"))
+            eng = DFCEngine(cfg, variables, dtype=jnp.bfloat16, use_pallas=False,
+                            pallas_conv_levels=levels)
+            fns[v] = (lambda e: (lambda x: e._build_forward()(x)))(eng)
         else:
             eng = DFCEngine(cfg, variables, dtype=jnp.bfloat16,
                             use_pallas=(v == "engine_pallas"))

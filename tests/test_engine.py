@@ -73,3 +73,16 @@ def test_engine_odd_size_fallback():
     engine = DFCEngine(CFG, variables, dtype=jnp.float32)
     got = np.asarray(engine(x))
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_engine_pallas_conv_levels_matches_model_apply():
+    """The all-Pallas block path (3x3 conv + DFC tail in one kernel,
+    ops/pallas_conv.dfc_tail_from_x) must be numerically equivalent."""
+    model = create_model(CFG)
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((2, 28, 28, 3)), jnp.float32)
+    variables = _trained_like_variables(model, x, seed=3)
+    want = np.asarray(model.apply(variables, x, train=False))
+    engine = DFCEngine(CFG, variables, dtype=jnp.float32, use_pallas=False,
+                       pallas_conv_levels="auto")
+    got = np.asarray(engine(x))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)

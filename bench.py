@@ -49,7 +49,7 @@ def build_chained(
     if engine:
         from dfc_sa_unet_tpu.infer.engine import DFCEngine
 
-        eng = DFCEngine(cfg, variables, dtype=cdtype, use_pallas=use_pallas)
+        eng = DFCEngine(cfg, variables, dtype=cdtype)
 
         def apply_fn(_, x):
             return eng._forward(x)

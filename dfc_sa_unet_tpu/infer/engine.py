@@ -6,13 +6,16 @@ for serving:
 
   * every Conv+BatchNorm pair is folded into a single conv (eval-mode BN
     is an affine per out-channel: W' = W*a, b' = (b-mean)*a + beta),
-  * the DFC tail (gate -> dynamic fusion -> fusion conv -> scaled
-    residual) runs as one Pallas kernel per block (ops/pallas_dfc_tail),
-    eliminating the HBM round trips of its bandwidth-bound 1x1 chain,
-  * adaptive average pooling uses a reshape-mean reduction when the input
-    divides evenly (always true on the 224 track) instead of a skinny
-    K=p matmul,
-  * activations stay in the compute dtype end to end.
+  * activations stay in the compute dtype end to end,
+  * optionally (``pallas_conv_levels``) whole DFC blocks run as single
+    Pallas kernels (ops/pallas_conv) — measured slower than XLA's conv
+    emitter on v5e (PERF.md round-2 evidence chain) but kept behind the
+    flag with a parity test for future Mosaic releases.
+
+On this chip the default engine ties the plain module path (871 img/s
+at B=128 bf16) — XLA already fuses the elementwise epilogues optimally;
+the engine's value is the folded weights (fewer passes on paper) and the
+single place to A/B serving formulations.
 
 Supported: 'DFC-SA-Res-Block' (UNetDFCSA/UNetDFCSARes).  Other models
 fall back to the regular module apply (Predictor handles this).
@@ -27,7 +30,6 @@ import numpy as np
 from dfc_sa_unet_tpu.ops.attention import pooled_self_attention
 from dfc_sa_unet_tpu.ops.convt import conv_transpose_2x2
 from dfc_sa_unet_tpu.ops.pallas_conv import conv_supported, dfc_tail_from_x
-from dfc_sa_unet_tpu.ops.pallas_dfc_tail import fused_dfc_tail, tail_supported
 from dfc_sa_unet_tpu.ops.pooling import adaptive_avg_pool, max_pool
 from dfc_sa_unet_tpu.ops.resize import resize_bilinear
 
@@ -73,15 +75,11 @@ class DFCEngine:
         config: Mapping[str, Any],
         variables: Mapping[str, Any],
         dtype=jnp.bfloat16,
-        use_pallas: bool = True,
-        # Per-level A/B on the chip (scripts/bench_tail.py, PERF.md): the
-        # fused tail wins at C<=256 (1.1-1.6x; C=64 via token packing) and
-        # loses at C=512 (0.8x) and the C=1024 bottleneck — gate it there.
-        pallas_max_channels: int = 256,
         # all-Pallas blocks: the 3x3 conv AND the whole DFC tail run in one
         # Pallas kernel per level (ops/pallas_conv.dfc_tail_from_x), so no
         # pallas_call ever consumes an XLA conv output (the boundary-relayout
-        # trap, PERF.md).  None = off; or a set of level names / "auto".
+        # trap, PERF.md).  Measured 0.6-0.9x XLA per level on v5e -- None
+        # (off) is the fast default; set a level set / "auto" to A/B.
         pallas_conv_levels=None,
     ):
         m = config["model"]
@@ -89,8 +87,6 @@ class DFCEngine:
         self.features = list(m.get("features", [64, 128, 256, 512]))
         self.pool_size = m.get("pool_size", 8)
         self.dtype = dtype
-        self.use_pallas = use_pallas
-        self.pallas_max_channels = pallas_max_channels
         if pallas_conv_levels == "auto":
             pallas_conv_levels = {"down2", "down3", "down4", "up_conv4", "up_conv3",
                                   "up_conv2", "up_conv1"}
@@ -226,17 +222,6 @@ class DFCEngine:
         ).astype(x.dtype)
         a = jnp.maximum(_conv(x, *d["attn0"], padding=0).astype(jnp.float32), 0.0).astype(x.dtype)
         a = self._lsa(d["lsa"], a)
-        b, h, w, c = y3.shape
-        if (
-            self.use_pallas
-            and d["wr"] is not None
-            and x.shape[-1] >= 16  # down1 (Cin=3) measured 0.96x — stays on XLA
-            and tail_supported(b, h, w, c, x.shape[-1], self.pallas_max_channels)
-        ):
-            return fused_dfc_tail(
-                y3, a, x, d["bc"], d["wg"], d["bg"], d["wf"], d["bf"], d["wr"],
-                interpret=self.interpret,
-            )
         local = jnp.maximum(y3.astype(jnp.float32) + bc, 0.0).astype(x.dtype)
         return self._tail_lax(d, local, a, x)
 

@@ -48,7 +48,7 @@ def main():
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--k", type=int, default=8)
     p.add_argument("--repeats", type=int, default=3)
-    p.add_argument("--variants", type=str, default="engine_pallas,engine_lax,module")
+    p.add_argument("--variants", type=str, default="engine_lax,module")
     args = p.parse_args()
 
     cfg = {"model": {"name": "DFC-SA-Res-Block", "in_channels": 3, "out_channels": 1,
@@ -68,12 +68,11 @@ def main():
         elif v.startswith("engine_conv"):
             # engine_conv = all supported levels; engine_conv:down2+up_conv1 = subset
             levels = "auto" if ":" not in v else set(v.split(":", 1)[1].split("+"))
-            eng = DFCEngine(cfg, variables, dtype=jnp.bfloat16, use_pallas=False,
+            eng = DFCEngine(cfg, variables, dtype=jnp.bfloat16,
                             pallas_conv_levels=levels)
             fns[v] = (lambda e: (lambda x: e._build_forward()(x)))(eng)
-        else:
-            eng = DFCEngine(cfg, variables, dtype=jnp.bfloat16,
-                            use_pallas=(v == "engine_pallas"))
+        else:  # engine_lax: the plain folded engine
+            eng = DFCEngine(cfg, variables, dtype=jnp.bfloat16)
             fns[v] = (lambda e: (lambda x: e._build_forward()(x)))(eng)
 
     for name, fn in fns.items():

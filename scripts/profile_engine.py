@@ -2,7 +2,7 @@
 """Profile engine variants on the chip and print a per-op-category time
 breakdown parsed from the jax.profiler trace (trace.json.gz).
 
-    python scripts/profile_engine.py [--variants engine_lax,engine_pallas]
+    python scripts/profile_engine.py [--variants engine_lax,engine_conv]
 """
 
 import argparse
@@ -83,7 +83,7 @@ def analyze(trace_dir: str, label: str, k: int):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--variants", type=str, default="engine_lax,engine_pallas")
+    p.add_argument("--variants", type=str, default="engine_lax")
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--k", type=int, default=4)
     args = p.parse_args()
@@ -99,7 +99,8 @@ def main():
     print(f"device={jax.devices()[0]} batch={args.batch}")
 
     for v in args.variants.split(","):
-        eng = DFCEngine(cfg, variables, dtype=jnp.bfloat16, use_pallas=(v == "engine_pallas"))
+        eng = DFCEngine(cfg, variables, dtype=jnp.bfloat16,
+                        pallas_conv_levels="auto" if v == "engine_conv" else None)
 
         @jax.jit
         def chained(x_u8, eng=eng):

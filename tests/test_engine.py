@@ -1,7 +1,6 @@
 """DFCEngine (folded + fused inference path) vs model.apply."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp
@@ -52,14 +51,13 @@ def test_fold_conv_bn_formula():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4)
 
 
-@pytest.mark.parametrize("use_pallas", [False, True])
-def test_engine_matches_model_apply(use_pallas):
+def test_engine_matches_model_apply():
     model = create_model(CFG)
     # 28 divides by the kernel's 14-row blocks; pool_size 4 divides 28
     x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 28, 28, 3)), jnp.float32)
     variables = _trained_like_variables(model, x)
     want = np.asarray(model.apply(variables, x, train=False))
-    engine = DFCEngine(CFG, variables, dtype=jnp.float32, use_pallas=use_pallas)
+    engine = DFCEngine(CFG, variables, dtype=jnp.float32)
     got = np.asarray(engine(x))
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
 
@@ -82,7 +80,7 @@ def test_engine_pallas_conv_levels_matches_model_apply():
     x = jnp.asarray(np.random.default_rng(3).standard_normal((2, 28, 28, 3)), jnp.float32)
     variables = _trained_like_variables(model, x, seed=3)
     want = np.asarray(model.apply(variables, x, train=False))
-    engine = DFCEngine(CFG, variables, dtype=jnp.float32, use_pallas=False,
+    engine = DFCEngine(CFG, variables, dtype=jnp.float32,
                        pallas_conv_levels="auto")
     got = np.asarray(engine(x))
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)

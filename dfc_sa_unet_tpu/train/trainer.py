@@ -87,6 +87,14 @@ class Trainer:
         tr = config["training"]
         self.num_epochs = tr["num_epochs"]
         self.save_checkpoint_freq = tr.get("save_checkpoint_freq", 100)
+        # Gradient accumulation: split each batch into `grad_accum`
+        # sequential microbatches inside the jitted step (lax.scan) and
+        # apply one averaged update.  This is how batches beyond the
+        # remote compiler's memory cap train on this chip (PERF.md:
+        # B=256 fails to compile even with remat; 2x128 accumulation
+        # compiles like B=128).  BatchNorm stats update per microbatch
+        # (same semantics as consecutive smaller torch batches).
+        self.grad_accum = int(tr.get("grad_accum", 1))
         loss_cfg = tr.get("loss", {}) or {}
         self.loss_type = loss_cfg.get("type", "dice")
         self.loss_params = dict(loss_cfg.get("params", {}) or {})
@@ -112,7 +120,10 @@ class Trainer:
         # (TPU VMs are preemptible; the reference has no recovery story).
         self._stop_requested = threading.Event()
 
-        self._train_step = jax.jit(partial(self._step_impl, train=True))
+        # donate the TrainState: the step returns a new state of identical
+        # structure, so XLA can update params/opt/BN stats in place instead
+        # of double-buffering them (meaningful at B>=128 on a 16 GB chip)
+        self._train_step = jax.jit(partial(self._step_impl, train=True), donate_argnums=(0,))
         self._eval_step = jax.jit(partial(self._step_impl, train=False))
 
         if self.mesh is not None:
@@ -176,13 +187,38 @@ class Trainer:
                 "per_sample_iou": ps_iou, "per_sample_dice": ps_dice,
             }
 
-        def loss_fn(params):
-            logits, new_stats = self._forward(params, state.batch_stats, x, True, rng)
+        def loss_fn(params, stats, xi, ti, rng_i):
+            logits, new_stats = self._forward(params, stats, xi, True, rng_i)
             probs = jax.nn.sigmoid(logits.astype(jnp.float32))
-            loss = compute_loss(probs, t, self.loss_type, self.loss_params)
+            loss = compute_loss(probs, ti, self.loss_type, self.loss_params)
             return loss, (probs, new_stats)
 
-        (loss, (probs, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        accum = self.grad_accum
+        if accum > 1 and x.shape[0] % accum == 0:
+            bsz = x.shape[0]
+            xm = x.reshape(accum, bsz // accum, *x.shape[1:])
+            tm = t.reshape(accum, bsz // accum, *t.shape[1:])
+
+            def micro(carry, inp):
+                stats, gacc = carry
+                i, xi, ti = inp
+                (loss_i, (probs_i, new_stats)), grads_i = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params, stats, xi, ti, jax.random.fold_in(rng, i))
+                gacc = jax.tree.map(lambda a, g: a + g, gacc, grads_i)
+                return (new_stats, gacc), (loss_i, probs_i)
+
+            zero_g = jax.tree.map(jnp.zeros_like, state.params)
+            (new_stats, gsum), (losses, probs_m) = jax.lax.scan(
+                micro, (state.batch_stats, zero_g), (jnp.arange(accum), xm, tm)
+            )
+            loss = losses.mean()
+            grads = jax.tree.map(lambda g: g / accum, gsum)
+            probs = probs_m.reshape(bsz, *probs_m.shape[2:])
+        else:
+            (loss, (probs, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, state.batch_stats, x, t, rng)
         finite = jnp.isfinite(loss)
         # NaN guard (reference utils/trainer.py:134-139): skip the update.
         grads = jax.tree.map(lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)

@@ -26,17 +26,34 @@ from dfc_sa_unet_tpu.models.factory import create_model
 from dfc_sa_unet_tpu.train import optim
 
 
-def build_step(model, tx, loss_type, dtype):
-    def step(params, batch_stats, opt_state, x, t):
-        def loss_fn(params):
-            out, mut = model.apply(
-                {"params": params, "batch_stats": batch_stats}, x, train=True,
-                mutable=["batch_stats"],
-            )
-            probs = jax.nn.sigmoid(out.astype(jnp.float32))
-            return compute_loss(probs, t, loss_type, {}), mut["batch_stats"]
+def build_step(model, tx, loss_type, dtype, accum=1):
+    def loss_fn(params, stats, x, t):
+        out, mut = model.apply(
+            {"params": params, "batch_stats": stats}, x, train=True,
+            mutable=["batch_stats"],
+        )
+        probs = jax.nn.sigmoid(out.astype(jnp.float32))
+        return compute_loss(probs, t, loss_type, {}), mut["batch_stats"]
 
-        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    def step(params, batch_stats, opt_state, x, t):
+        if accum > 1:
+            b = x.shape[0]
+            xm = x.reshape(accum, b // accum, *x.shape[1:])
+            tm = t.reshape(accum, b // accum, *t.shape[1:])
+
+            def micro(carry, xt):
+                stats, gacc = carry
+                (loss_i, new_stats), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, stats, xt[0], xt[1])
+                return (new_stats, jax.tree.map(lambda a, gi: a + gi, gacc, g)), loss_i
+
+            zero = jax.tree.map(jnp.zeros_like, params)
+            (new_stats, gsum), losses = jax.lax.scan(micro, (batch_stats, zero), (xm, tm))
+            loss = losses.mean()
+            grads = jax.tree.map(lambda g: g / accum, gsum)
+        else:
+            (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch_stats, x, t)
         updates, new_opt = tx.update(grads, opt_state, params)
         new_params = jax.tree.map(lambda p, u: p + u, params, updates)
         return new_params, new_stats, new_opt, loss
@@ -52,6 +69,8 @@ def main():
     p.add_argument("--k", type=int, default=4)
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--loss", type=str, default="bce_dice")
+    p.add_argument("--accum", type=int, default=1,
+                   help="gradient-accumulation microbatches per step")
     p.add_argument("--size", type=int, default=224)
     args = p.parse_args()
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
@@ -61,13 +80,13 @@ def main():
                      "pool_size": 8, "remat": remat}}
     model = create_model(cfg, dtype=None if args.fp32 else jnp.bfloat16)
     tx = optim.sgd_with_clip(0.01, 0.9, 1e-4, clip_norm=1.0)
-    step = build_step(model, tx, args.loss, dtype)
+    step = build_step(model, tx, args.loss, dtype, accum=args.accum)
 
     s = args.size
     variables = model.init(jax.random.key(0), jnp.zeros((1, s, s, 3), dtype), train=False)
     params, batch_stats = variables["params"], variables["batch_stats"]
     opt_state = tx.init(params)
-    print(f"device={jax.devices()[0]} remat={args.remat} dtype={dtype.__name__}")
+    print(f"device={jax.devices()[0]} remat={args.remat} dtype={dtype.__name__} accum={args.accum}")
 
     for b in [int(x) for x in args.batches.split(",")]:
         rng = np.random.default_rng(0)

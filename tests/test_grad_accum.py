@@ -1,0 +1,79 @@
+"""Gradient accumulation: the scan-over-microbatches train step must match
+an explicit sequential replay (same grads, same BN stats threading)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dfc_sa_unet_tpu.losses import compute_loss
+from dfc_sa_unet_tpu.models.factory import create_model
+from dfc_sa_unet_tpu.train.trainer import Trainer
+
+CFG = {
+    "training": {
+        "num_epochs": 1,
+        "batch_size": 4,
+        "learning_rate": 0.05,
+        "momentum": 0.9,
+        "weight_decay": 1e-4,
+        "grad_accum": 2,
+        "loss": {"type": "bce_dice", "params": {}},
+    },
+    "model": {"name": "DFC-SA-Res-Block", "features": [8, 16, 24, 32], "pool_size": 4},
+    "dataset": {"train_dir": ".", "val_dir": ".", "img_size": [48, 48]},
+    "logging": {"log_dir": "/tmp/ga_log", "images_dir": "/tmp/ga_log/images",
+                "save_best_worst_samples": 0},
+}
+
+
+def test_grad_accum_matches_sequential_replay(tmp_path):
+    cfg = {**CFG, "logging": {"log_dir": str(tmp_path), "images_dir": str(tmp_path),
+                              "save_best_worst_samples": 0}}
+    model = create_model(cfg)
+    trainer = Trainer(model, None, None, cfg, seed=0)
+    assert trainer.grad_accum == 2
+
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 256, (4, 48, 48, 3), dtype=np.uint8)
+    masks = rng.integers(0, 2, (4, 48, 48)).astype(np.uint8) * 255
+
+    state = trainer.init_state({"image": images})
+    # _train_step donates its input state; keep a copy for the replay
+    state0 = jax.tree.map(lambda a: jnp.array(a), state)
+    new_state, metrics = trainer._train_step(state, jnp.asarray(images), jnp.asarray(masks))
+    state = state0
+    assert np.isfinite(float(metrics["loss"]))
+
+    # explicit replay: two microbatches, grads averaged, BN stats threaded
+    from dfc_sa_unet_tpu.data.loader import binarize_mask_on_device, normalize_on_device
+
+    x = normalize_on_device(jnp.asarray(images), jnp.float32)
+    t = binarize_mask_on_device(jnp.asarray(masks))
+    base_rng = jax.random.fold_in(trainer.base_key, state.step)
+
+    def loss_fn(params, stats, xi, ti, rng_i):
+        out, mut = model.apply({"params": params, "batch_stats": stats}, xi, train=True,
+                               mutable=["batch_stats"], rngs={"dropout": rng_i})
+        probs = jax.nn.sigmoid(out.astype(jnp.float32))
+        return compute_loss(probs, ti, "bce_dice", {}), mut["batch_stats"]
+
+    stats = state.batch_stats
+    gsum = jax.tree.map(jnp.zeros_like, state.params)
+    losses = []
+    for i in range(2):
+        (li, stats), gi = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, stats, x[2 * i : 2 * i + 2], t[2 * i : 2 * i + 2],
+            jax.random.fold_in(base_rng, i))
+        gsum = jax.tree.map(lambda a, g: a + g, gsum, gi)
+        losses.append(li)
+    grads = jax.tree.map(lambda g: g / 2, gsum)
+    updates, _ = trainer.tx.update(grads, state.opt_state, state.params)
+    want_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float((losses[0] + losses[1]) / 2), rtol=1e-6)
+    for got, want in zip(jax.tree.leaves(new_state.params), jax.tree.leaves(want_params)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6, rtol=1e-5)
+    for got, want in zip(jax.tree.leaves(new_state.batch_stats), jax.tree.leaves(stats)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6, rtol=1e-5)

@@ -47,9 +47,15 @@ def main():
     )
     parser.add_argument("--data_parallel", action="store_true", help="Shard batches over all devices")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--grad_accum", type=int, default=None,
+                        help="split each batch into N sequential microbatches inside the "
+                             "jitted step (one averaged update) — trains batches beyond "
+                             "the compiler's memory cap (e.g. 256 = 2x128 on one v5e)")
     args = parser.parse_args()
 
     config = load_config(args.config)
+    if args.grad_accum:
+        config["training"]["grad_accum"] = args.grad_accum
     apply_overrides(
         config, args.loss, args.alpha, args.beta, args.weight_bce, args.weight_dice,
         args.bce_weight, args.dice_weight, args.contour_weight, args.augmentation,

@@ -191,3 +191,96 @@ class Predictor:
             counts[ys : ys + tile_size, xs : xs + tile_size] += 1.0
         counts[counts == 0] = 1.0
         return canvas / counts
+
+    def predict_sliding_stream(
+        self,
+        images: Iterable,
+        tile_size: int = 224,
+        overlap: int = 50,
+        batch_size: int = 128,
+        tta: bool = False,
+    ) -> Iterator:
+        """Sliding-window prediction over a STREAM of images, batching
+        tiles ACROSS images.
+
+        ``images`` yields ``(key, image_u8)``; this yields ``(key, probs)``
+        in input order.  A single 512x512 image produces only 9 tiles —
+        padding those to the TPU-fast batch of 128 wastes 14x the compute
+        (PERF.md batch-shape cliff).  Here tiles from consecutive images
+        fill shared fixed-size batches, so directory throughput approaches
+        the dense-batch rate regardless of per-image tile counts.  Math is
+        identical to per-image ``predict_sliding`` (same tiles, same
+        count-average stitch; TTA variants ride the same shared batches).
+        """
+        pending: dict = {}  # key -> [canvas, counts, remaining_tiles]
+        order: list = []  # emission order (input order)
+        done: dict = {}  # key -> probs, for small-image fallbacks
+        buf_meta: list = []  # (key, ys, xs, variant)
+        buf_tiles: list = []
+
+        def run_chunk(final: bool):
+            while len(buf_tiles) >= batch_size or (final and buf_tiles):
+                take = min(batch_size, len(buf_tiles))
+                chunk = np.stack(buf_tiles[:take])
+                meta = buf_meta[:take]
+                del buf_tiles[:take], buf_meta[:take]
+                if take < batch_size:
+                    chunk = np.concatenate(
+                        [chunk, np.zeros((batch_size - take, *chunk.shape[1:]), chunk.dtype)]
+                    )
+                probs = self.predict_probs(chunk)[:take]
+                for (key, ys, xs, var), p in zip(meta, probs):
+                    if var == 1:
+                        p = p[:, ::-1]
+                    elif var == 2:
+                        p = p[::-1, :]
+                    canvas, counts, _ = pending[key]
+                    canvas[ys : ys + tile_size, xs : xs + tile_size] += p
+                    counts[ys : ys + tile_size, xs : xs + tile_size] += 1.0
+                    pending[key][2] -= 1
+
+        def completed():
+            while order:
+                key = order[0]
+                if key in done:
+                    yield key, done.pop(key)
+                elif key in pending and pending[key][2] == 0:
+                    canvas, counts, _ = pending.pop(key)
+                    counts[counts == 0] = 1.0
+                    yield key, canvas / counts
+                else:
+                    return
+                order.pop(0)
+
+        for key, image_u8 in images:
+            h, w = image_u8.shape[:2]
+            order.append(key)
+            if h < tile_size or w < tile_size:
+                run_chunk(final=True)  # keep emission order: flush older tiles
+                done[key] = self.predict_single(image_u8)
+                yield from completed()
+                continue
+            stride = tile_size - overlap
+            coords = []
+            for y in range(0, h, stride):
+                for x in range(0, w, stride):
+                    y_end, x_end = min(y + tile_size, h), min(x + tile_size, w)
+                    coords.append((max(0, y_end - tile_size), max(0, x_end - tile_size)))
+            nvar = 3 if tta else 1
+            pending[key] = [np.zeros((h, w), np.float32), np.zeros((h, w), np.float32),
+                            len(coords) * nvar]
+            for ys, xs in coords:
+                tile = image_u8[ys : ys + tile_size, xs : xs + tile_size]
+                buf_meta.append((key, ys, xs, 0))
+                buf_tiles.append(tile)
+                if tta:
+                    buf_meta.append((key, ys, xs, 1))
+                    buf_tiles.append(tile[:, ::-1])
+                    buf_meta.append((key, ys, xs, 2))
+                    buf_tiles.append(tile[::-1, :])
+            run_chunk(final=False)
+            yield from completed()
+
+        run_chunk(final=True)
+        yield from completed()
+        assert not pending and not done, (list(pending), list(done))

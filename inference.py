@@ -167,17 +167,41 @@ def main(args):
     saver = None if args.serial else ThreadPoolExecutor(max_workers=2)
     pending = []
 
-    for filename, img, original, gt_gray in tqdm(
-        stream, total=len(image_files), desc="Inference"
+    if args.no_slide_window or args.serial:
+        # per-image prediction (the --serial A/B baseline mirrors the
+        # reference's decode -> predict -> save loop)
+        def predicted():
+            for filename, img, original, gt_gray in stream:
+                if args.no_slide_window:
+                    prob_small = predictor.predict_single(img)
+                    oh, ow = original.shape[:2]
+                    pred_prob = cv2.resize(prob_small, (ow, oh), interpolation=cv2.INTER_LINEAR)
+                else:
+                    pred_prob = predictor.predict_sliding(
+                        original, args.tile_size, args.overlap, args.batch_size, tta=args.tta
+                    )
+                yield filename, original, gt_gray, pred_prob
+    else:
+        # sliding mode: batch tiles ACROSS images so short-tile images
+        # (a 512x512 image is only 9 tiles) still fill the TPU-fast
+        # batch of 128 (predictor.predict_sliding_stream)
+        meta: dict = {}
+
+        def keyed():
+            for i, (filename, img, original, gt_gray) in enumerate(stream):
+                meta[i] = (filename, original, gt_gray)
+                yield i, original
+
+        def predicted():
+            for i, pred_prob in predictor.predict_sliding_stream(
+                keyed(), args.tile_size, args.overlap, args.batch_size, tta=args.tta
+            ):
+                filename, original, gt_gray = meta.pop(i)
+                yield filename, original, gt_gray, pred_prob
+
+    for filename, original, gt_gray, pred_prob in tqdm(
+        predicted(), total=len(image_files), desc="Inference"
     ):  # reference inference.py:264
-        if args.no_slide_window:
-            prob_small = predictor.predict_single(img)
-            oh, ow = original.shape[:2]
-            pred_prob = cv2.resize(prob_small, (ow, oh), interpolation=cv2.INTER_LINEAR)
-        else:
-            pred_prob = predictor.predict_sliding(
-                original, args.tile_size, args.overlap, args.batch_size, tta=args.tta
-            )
         pred_binary = (pred_prob > args.threshold).astype(np.uint8)
 
         gt_mask = None

@@ -71,8 +71,18 @@ def main():
     p.add_argument("--loss", type=str, default="bce_dice")
     p.add_argument("--accum", type=int, default=1,
                    help="gradient-accumulation microbatches per step")
+    p.add_argument("--bn_matmul", action="store_true",
+                   help="BN batch stats via separable matmul reductions (experiment)")
+    p.add_argument("--no_chain", action="store_true",
+                   help="time python-side sequential steps instead of an outer lax.scan "
+                        "(steps serialize through the param data dependency; use when the "
+                        "nested scan+remat graph breaks the remote compile helper)")
     p.add_argument("--size", type=int, default=224)
     args = p.parse_args()
+    if args.bn_matmul:  # contextvar must be set while the step traces
+        from dfc_sa_unet_tpu.nn.layers import _BN_MATMUL_STATS
+
+        _BN_MATMUL_STATS.set(True)
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     remat = False if args.remat == "none" else args.remat
 
@@ -92,6 +102,26 @@ def main():
         rng = np.random.default_rng(0)
         x = jnp.asarray(rng.standard_normal((b, s, s, 3)).astype(np.float32), dtype)
         t = jnp.asarray((rng.random((b, s, s, 1)) > 0.5).astype(np.float32))
+
+        if args.no_chain:
+            jstep = jax.jit(step, donate_argnums=(0, 1, 2))
+            # donation invalidates inputs -- work on copies so the next
+            # batch size in the sweep still has the originals
+            p0, s0, o0 = jax.tree.map(jnp.array, (params, batch_stats, opt_state))
+            p_, s_, o_, loss = jstep(p0, s0, o0, x, t)  # compile
+            float(loss)
+            best = float("inf")
+            for _ in range(args.repeats):
+                t0 = time.perf_counter()
+                pp, ss, oo = p_, s_, o_
+                for _ in range(args.k):
+                    pp, ss, oo, loss = jstep(pp, ss, oo, x, t)
+                float(loss)
+                best = min(best, (time.perf_counter() - t0) / args.k)
+                p_, s_, o_ = pp, ss, oo
+            print(f"batch {b:>4}: {best * 1e3:8.1f} ms/step -> {b / best:7.1f} img/s (no-chain)",
+                  flush=True)
+            continue
 
         @jax.jit
         def chained(params, batch_stats, opt_state, x, t):

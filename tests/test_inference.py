@@ -105,3 +105,31 @@ def test_inference_cli_end_to_end(tmp_path):
     assert (out_dir / "sample_000_combined_view.png").exists()
     assert (out_dir / "evaluation_metrics.csv").exists()
     assert "Micro-Averaged" in res.stdout
+
+
+def test_sliding_stream_matches_per_image(predictor):
+    """Cross-image tile batching must equal per-image predict_sliding,
+    preserve input order, and handle small-image fallbacks mid-stream."""
+    rng = np.random.default_rng(3)
+    images = [
+        rng.integers(0, 256, size=(150, 130, 3), dtype=np.uint8),
+        rng.integers(0, 256, size=(96, 160, 3), dtype=np.uint8),
+        rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8),  # < tile: fallback
+        rng.integers(0, 256, size=(130, 150, 3), dtype=np.uint8),
+    ]
+    got = list(predictor.predict_sliding_stream(
+        enumerate(images), tile_size=64, overlap=16, batch_size=8))
+    assert [k for k, _ in got] == [0, 1, 2, 3]
+    for (_, stream_probs), img in zip(got, images):
+        want = predictor.predict_sliding(img, tile_size=64, overlap=16, batch_size=8)
+        np.testing.assert_allclose(stream_probs, want, atol=1e-5, rtol=1e-4)
+
+
+def test_sliding_stream_tta_matches_per_image(predictor):
+    rng = np.random.default_rng(4)
+    images = [rng.integers(0, 256, size=(100, 100, 3), dtype=np.uint8) for _ in range(3)]
+    got = dict(predictor.predict_sliding_stream(
+        enumerate(images), tile_size=64, overlap=16, batch_size=8, tta=True))
+    for i, img in enumerate(images):
+        want = predictor.predict_sliding(img, tile_size=64, overlap=16, batch_size=8, tta=True)
+        np.testing.assert_allclose(got[i], want, atol=1e-5, rtol=1e-4)

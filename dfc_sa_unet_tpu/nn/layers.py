@@ -46,23 +46,6 @@ def bn_cross_replica_axis(axis_name: Optional[str]):
         _BN_AXIS.reset(token)
 
 
-# Train-step experiment (PERF.md): BN batch statistics account for ~20%
-# of the train step (convert_reduce passes over every conv output).  When
-# set, train-mode BN computes its sums with separable H/W matmuls (the
-# formulation that beats reduce_window for pooling on this chip) instead
-# of jnp.mean reductions.
-_BN_MATMUL_STATS: contextvars.ContextVar = contextvars.ContextVar("bn_matmul_stats", default=False)
-
-
-@contextlib.contextmanager
-def bn_matmul_stats(enable: bool = True):
-    token = _BN_MATMUL_STATS.set(enable)
-    try:
-        yield
-    finally:
-        _BN_MATMUL_STATS.reset(token)
-
-
 def conv_kernel_init(key, shape, dtype=jnp.float32):
     """torch Conv2d/Linear default weight init: kaiming_uniform(a=sqrt(5)).
 
@@ -289,24 +272,8 @@ class BatchNorm(nn.Module):
 
         if train:
             xf = x.astype(jnp.float32)
-            if _BN_MATMUL_STATS.get() and x.ndim == 4:
-                # separable matmul reduction (see bn_matmul_stats above):
-                # sum over H then W ride the MXU; the tiny [B, C] tail
-                # reduces on the VPU.  bf16 operands, f32 accumulation.
-                def _sum_hw(t):
-                    t = t.astype(x.dtype)
-                    oh = jnp.ones((1, t.shape[1]), x.dtype)
-                    ow = jnp.ones((1, t.shape[2]), x.dtype)
-                    s = jnp.einsum("ph,bhwc->bpwc", oh, t, preferred_element_type=jnp.float32)
-                    s = jnp.einsum("qw,bpwc->bpqc", ow, s, preferred_element_type=jnp.float32)
-                    return jnp.sum(s[:, 0, 0, :], axis=0)
-
-                n_elem = x.shape[0] * x.shape[1] * x.shape[2]
-                mean = _sum_hw(xf) / n_elem
-                mean2 = _sum_hw(jnp.square(xf)) / n_elem
-            else:
-                mean = jnp.mean(xf, axis=reduce_axes)
-                mean2 = jnp.mean(jnp.square(xf), axis=reduce_axes)
+            mean = jnp.mean(xf, axis=reduce_axes)
+            mean2 = jnp.mean(jnp.square(xf), axis=reduce_axes)
             n = int(np.prod([x.shape[a] for a in reduce_axes]))
             axis_name = self.axis_name or _BN_AXIS.get()
             if axis_name is not None:

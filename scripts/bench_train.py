@@ -71,18 +71,12 @@ def main():
     p.add_argument("--loss", type=str, default="bce_dice")
     p.add_argument("--accum", type=int, default=1,
                    help="gradient-accumulation microbatches per step")
-    p.add_argument("--bn_matmul", action="store_true",
-                   help="BN batch stats via separable matmul reductions (experiment)")
     p.add_argument("--no_chain", action="store_true",
                    help="time python-side sequential steps instead of an outer lax.scan "
                         "(steps serialize through the param data dependency; use when the "
                         "nested scan+remat graph breaks the remote compile helper)")
     p.add_argument("--size", type=int, default=224)
     args = p.parse_args()
-    if args.bn_matmul:  # contextvar must be set while the step traces
-        from dfc_sa_unet_tpu.nn.layers import _BN_MATMUL_STATS
-
-        _BN_MATMUL_STATS.set(True)
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     remat = False if args.remat == "none" else args.remat
 

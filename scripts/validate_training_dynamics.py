@@ -223,10 +223,10 @@ def report():
         dd = abs(float(tr[i]["val_dice"]) - float(jx[i]["val_dice"]))
         max_d = max(max_d, dd)
         lines.append(
-            f"| {tr[i]['epoch']} | {float(tr[i]['train_loss']):.4f} | {float(jx[i]['train_loss']):.4f}"
+            f"| {int(float(tr[i]['epoch']))} | {float(tr[i]['train_loss']):.4f} | {float(jx[i]['train_loss']):.4f}"
             f" | {float(tr[i]['val_dice']):.4f} | {float(jx[i]['val_dice']):.4f} | {dd:.4f} |"
         )
-    lines += ["", f"Max |ΔDice| over {n} epochs: **{max_d:.4f}**", ""]
+    lines += ["", f"Max |ΔDice| over {n} epochs: **{max_d:.4f}** (f32 parity mode, one real TPU v5e chip vs torch CPU)", ""]
     with open(os.path.join(OUT, "VALIDATION.md"), "w") as f:
         f.write("\n".join(lines))
     print("\n".join(lines))
@@ -237,7 +237,7 @@ def report():
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
-        ep = [int(r["epoch"]) for r in tr[:n]]
+        ep = [int(float(r["epoch"])) for r in tr[:n]]
         fig, ax = plt.subplots(1, 2, figsize=(11, 4))
         ax[0].plot(ep, [float(r["train_loss"]) for r in tr[:n]], "o-", label="torch")
         ax[0].plot(ep, [float(r["train_loss"]) for r in jx[:n]], "x--", label="jax/tpu")

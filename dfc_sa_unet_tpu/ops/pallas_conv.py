@@ -11,6 +11,7 @@ layouts).  Conclusion: the conv must live INSIDE the kernel.
 This module provides:
 
   conv3x3_bn_relu   — 3x3 conv + folded-BN affine + ReLU in one kernel
+                      (the per-level A/B probe; PERF.md table)
   dfc_tail_from_x   — the whole DFC block tail given x and the attention
                       branch output: local conv3x3+BN+ReLU, gate
                       conv1x1+BN+sigmoid, fusion conv1x1+BN+ReLU,
@@ -121,7 +122,7 @@ def conv3x3_bn_relu(x, w, b, interpret=False):
     r = _pick_rows(h, width, cin, cout)
     assert r, (x.shape, w.shape)
     # [3(dy), 3(dx), Cin, Cout] -> [3, 3*Cin, Cout] with dx-major channel packing
-    wp = w.astype(x.dtype).transpose(0, 1, 2, 3).reshape(3, 3 * cin, cout)
+    wp = w.astype(x.dtype).reshape(3, 3 * cin, cout)
 
     kwargs = {}
     if _HAS_PLTPU and not interpret:
@@ -146,45 +147,6 @@ def conv3x3_bn_relu(x, w, b, interpret=False):
         interpret=interpret,
         **kwargs,
     )(xp, wp, b)
-
-
-def _conv1x1_kernel(x_ref, w_ref, b_ref, o_ref):
-    _, r, width, cin = x_ref.shape
-    cout = o_ref.shape[-1]
-    y = (
-        jnp.dot(
-            x_ref[:].reshape(r * width, cin), w_ref[:], preferred_element_type=jnp.float32
-        )
-        + b_ref[:]
-    )
-    y = jnp.maximum(y, 0.0)
-    o_ref[:] = y.astype(o_ref.dtype).reshape(1, r, width, cout)
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def conv1x1_bn_relu(x, w, b, interpret=False):
-    """x: [B, H, W, Cin]; w: [Cin, Cout] (BN folded); b: [Cout] f32 ->
-    ReLU'd [B, H, W, Cout].  One matmul per [R, W] tile."""
-    bsz, h, width, cin = x.shape
-    cout = w.shape[-1]
-    r = _pick_rows(h, width, cin, cout)
-    assert r, (x.shape, w.shape)
-    kwargs = {}
-    if _HAS_PLTPU and not interpret:
-        kwargs["compiler_params"] = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
-    return pl.pallas_call(
-        _conv1x1_kernel,
-        out_shape=jax.ShapeDtypeStruct((bsz, h, width, cout), x.dtype),
-        grid=(bsz, h // r),
-        in_specs=[
-            pl.BlockSpec((1, r, width, cin), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((cin, cout), lambda i, j: (0, 0)),
-            pl.BlockSpec((cout,), lambda i, j: (0,)),
-        ],
-        out_specs=pl.BlockSpec((1, r, width, cout), lambda i, j: (i, j, 0, 0)),
-        interpret=interpret,
-        **kwargs,
-    )(x, w.astype(x.dtype), b)
 
 
 def _dfc_tail_kernel(x_ref, a_ref, wc_ref, bc_ref, wg_ref, bg_ref, wf_ref, bf_ref, wr_ref, o_ref):

@@ -96,7 +96,9 @@ def test_explicit_spmd_step_matches_gspmd(tmp_path):
     tg = Trainer(model, loader, loader, cfg, mesh=mesh, seed=0)
     sg = tg.init_state(batch)
     imgs, masks = tg._put_batch(batch)
+    sg0 = jax.tree.map(jnp.array, sg)  # _train_step donates sg
     sgn, mg = tg._train_step(sg, imgs, masks)
+    sg = sg0
 
     # explicit shard_map path, same initial state
     tx = optim.from_config(cfg)
@@ -137,7 +139,9 @@ def test_explicit_spmd_joint_loss_matches_single_device(tmp_path):
     tg = Trainer(model, loader, loader, cfg, mesh=mesh, seed=0)
     sg = tg.init_state(batch)
     imgs, masks = tg._put_batch(batch)
+    sg0 = jax.tree.map(jnp.array, sg)  # _train_step donates sg
     sgn, mg = tg._train_step(sg, imgs, masks)
+    sg = sg0
 
     tx = optim.from_config(cfg)
     step = make_spmd_train_step(model, tx, mesh, loss_type="joint",

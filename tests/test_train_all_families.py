@@ -68,14 +68,16 @@ def test_one_train_and_eval_step(name, extra, size):
     }
     state = trainer.init_state(batch)
     imgs, masks = jnp.asarray(batch["image"]), jnp.asarray(batch["mask"])
+    import jax
+
+    # _train_step donates the input state -- snapshot params to host first
+    params_before = [np.asarray(l) for l in jax.tree.leaves(state.params)]
     new_state, metrics = trainer._train_step(state, imgs, masks)
     assert np.isfinite(float(metrics["loss"])), name
     # params actually changed
-    import jax
-
     changed = any(
-        not np.allclose(np.asarray(a), np.asarray(b))
-        for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(new_state.params))
+        not np.allclose(a, np.asarray(b))
+        for a, b in zip(params_before, jax.tree.leaves(new_state.params))
     )
     assert changed, f"{name}: no parameter update"
     _, em = trainer._eval_step(new_state, imgs, masks)

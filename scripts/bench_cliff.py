@@ -8,6 +8,9 @@ Variants, timed scan-chained on the real chip:
               (the serving mitigation if the cliff is a compiler behavior)
   barrier   — lax.optimization_barrier between U-Net stages to pin values
               and stop cross-block layout propagation choices
+  pinned    — jax.experimental.layout.with_layout_constraint (row-major
+              major_to_minor) on every block output: forces one
+              consistent layout at block boundaries
 
     python scripts/bench_cliff.py [--batches 64,96,128] [--variants base,pad128,barrier]
 """
@@ -30,22 +33,31 @@ from dfc_sa_unet_tpu.data.loader import normalize_on_device
 SIZE = 224
 
 
-def build_model(barrier: bool):
+def build_model(mode: str):
     cfg = {"model": {"name": "DFC-SA-Res-Block", "features": [64, 128, 256, 512],
                      "pool_size": 8}}
     model = create_model(cfg, dtype=jnp.bfloat16)
-    if not barrier:
+    if mode == "base":
         return model
 
     # monkey-layer: wrap unet block outputs in optimization_barrier by
     # patching the module call path via interceptors
     from flax.linen import intercept_methods
 
+    if mode == "pinned":
+        from jax.experimental import layout as jlayout
+
+        def constrain(t):
+            lo = jlayout.Layout(tuple(range(t.ndim - 1, -1, -1)))
+            return jlayout.with_layout_constraint(t, lo)
+    else:
+        constrain = jax.lax.optimization_barrier
+
     def interceptor(next_fn, args, kwargs, context):
         out = next_fn(*args, **kwargs)
         name = getattr(context.module, "name", "") or ""
         if name.startswith(("down", "up_conv", "bottleneck")) and hasattr(out, "dtype"):
-            out = jax.lax.optimization_barrier(out)
+            out = constrain(out)
         return out
 
     class Wrapped:
@@ -95,7 +107,7 @@ def main():
     args = p.parse_args()
     variants = args.variants.split(",")
 
-    plain = build_model(False)
+    plain = build_model("base")
     variables = plain.init(jax.random.key(0), jnp.zeros((1, SIZE, SIZE, 3), jnp.bfloat16),
                            train=False)
     print(f"device={jax.devices()[0]}")
@@ -103,7 +115,7 @@ def main():
         for v in variants:
             if v == "pad128" and b >= 128:
                 continue
-            model = build_model(v == "barrier")
+            model = build_model(v if v in ("barrier", "pinned") else "base")
             try:
                 dt = time_forward(model, variables, b, k=args.k,
                                   pad_to=128 if v == "pad128" else None)

@@ -18,7 +18,6 @@ from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from dfc_sa_unet_tpu.data.dataset import SegmentationDataset

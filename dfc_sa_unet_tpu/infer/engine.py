@@ -25,7 +25,6 @@ from typing import Any, Mapping
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from dfc_sa_unet_tpu.ops.attention import pooled_self_attention
 from dfc_sa_unet_tpu.ops.convt import conv_transpose_2x2

@@ -103,7 +103,8 @@ def main(args):
             print("Using the folded+fused inference engine.")
         else:
             print("(--engine only supports DFC-SA-Res-Block; using standard path)")
-    predictor = Predictor(model, variables, compute_dtype=dtype, apply_fn=apply_fn)
+    predictor = Predictor(model, variables, compute_dtype=dtype, apply_fn=apply_fn,
+                          exe_cache_dir=args.exe_cache)
     print(f"Model {config['model'].get('name')} ready on {jax.devices()[0]}")
     if args.tta:
         print("Test-time augmentation (TTA) enabled.")
@@ -277,6 +278,9 @@ if __name__ == "__main__":
     parser.add_argument("--no_slide_window", action="store_true")
     parser.add_argument("--tta", action="store_true")
     parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--exe_cache", type=str, default=None,
+                        help="directory for compiled-executable caching (skips the "
+                             "~6-15 min first TPU compile on warm starts)")
     parser.add_argument("--engine", action="store_true",
                         help="folded+fused inference engine (DFC-SA-Res-Block)")
     parser.add_argument("--batch_size", type=int, default=128,

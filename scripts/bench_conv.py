@@ -21,7 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from dfc_sa_unet_tpu.ops.pallas_conv import conv3x3_bn_relu, dfc_tail_from_x
+from dfc_sa_unet_tpu.ops.pallas_conv import conv3x3_bn_relu
 
 # (name, H, Cin, Cout) for the flagship's DFC levels at 224
 LEVELS = [

@@ -12,7 +12,6 @@ Times, at down3-like shapes (B=128, 56x56, Cin=128, Cout=256), bf16:
 """
 
 import argparse
-import functools
 import os
 import sys
 import time

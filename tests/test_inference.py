@@ -133,3 +133,32 @@ def test_sliding_stream_tta_matches_per_image(predictor):
     for i, img in enumerate(images):
         want = predictor.predict_sliding(img, tile_size=64, overlap=16, batch_size=8, tta=True)
         np.testing.assert_allclose(got[i], want, atol=1e-5, rtol=1e-4)
+
+
+def test_exe_cache_roundtrip(tmp_path, predictor):
+    """cached_compile writes one entry per shape, the returned callable
+    matches the plain jit path, and a reloaded entry still produces
+    correct results (falling back to jit if the deserialized executable
+    cannot run on this backend -- the multi-device CPU case)."""
+    from dfc_sa_unet_tpu.utils.exe_cache import cached_compile
+
+    x = np.random.default_rng(5).integers(0, 256, size=(2, 64, 64, 3), dtype=np.uint8)
+    xj = jnp.asarray(x)
+    want = np.asarray(predictor._forward_u8(predictor.variables, xj))
+
+    f1 = cached_compile(predictor._forward_u8, str(tmp_path), "t", predictor.variables, xj)
+    assert len(list(tmp_path.glob("exe_*.bin"))) == 1
+    np.testing.assert_allclose(np.asarray(f1(predictor.variables, xj)), want, atol=1e-6)
+
+    # second construction hits the cache file; results still correct
+    f2 = cached_compile(predictor._forward_u8, str(tmp_path), "t", predictor.variables, xj)
+    np.testing.assert_allclose(np.asarray(f2(predictor.variables, xj)), want, atol=1e-6)
+
+    # different shape -> a second entry
+    x1 = jnp.asarray(x[:1])
+    cached_compile(predictor._forward_u8, str(tmp_path), "t", predictor.variables, x1)
+    assert len(list(tmp_path.glob("exe_*.bin"))) == 2
+
+    # Predictor-level integration
+    p2 = Predictor(predictor.model, predictor.variables, exe_cache_dir=str(tmp_path))
+    np.testing.assert_allclose(p2.predict_probs(x), predictor.predict_probs(x), atol=1e-6)

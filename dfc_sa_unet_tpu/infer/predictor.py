@@ -130,7 +130,17 @@ class Predictor:
         self._forward_u8 = _forward_u8
 
     def predict_probs(self, images_u8: np.ndarray) -> np.ndarray:
-        """[B,H,W,3] uint8 -> [B,H,W] probabilities."""
+        """[B,H,W,3] uint8 -> [B,H,W] probabilities.
+
+        Batches in [64, 128) are zero-padded to 128 and the padding
+        discarded: on v5e, XLA's conv strategy for those shapes runs at
+        ~45% of the batch-128 rate, so computing 128 is faster than
+        computing 64-127 (measured sweep in PERF.md; B<64 native wins).
+        """
+        n = images_u8.shape[0]
+        if 64 <= n < 128:
+            pad = np.zeros((128 - n, *images_u8.shape[1:]), dtype=np.uint8)
+            return self.predict_probs(np.concatenate([np.asarray(images_u8), pad]))[:n]
         images_u8 = jnp.asarray(images_u8)
         if self.exe_cache_dir is not None:
             key = images_u8.shape

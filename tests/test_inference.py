@@ -162,3 +162,14 @@ def test_exe_cache_roundtrip(tmp_path, predictor):
     # Predictor-level integration
     p2 = Predictor(predictor.model, predictor.variables, exe_cache_dir=str(tmp_path))
     np.testing.assert_allclose(p2.predict_probs(x), predictor.predict_probs(x), atol=1e-6)
+
+
+def test_predict_probs_autopad_equivalence(predictor):
+    """Batches in [64, 128) are padded to 128 on device; results must
+    equal the per-image outputs exactly (padding discarded)."""
+    rng = np.random.default_rng(6)
+    x = rng.integers(0, 256, size=(65, 64, 64, 3), dtype=np.uint8)
+    got = predictor.predict_probs(x)
+    assert got.shape == (65, 64, 64)
+    want = predictor.predict_probs(x[:32])  # native small batch, no pad
+    np.testing.assert_allclose(got[:32], want, atol=1e-5, rtol=1e-4)

@@ -123,8 +123,12 @@ class Trainer:
         # donate the TrainState: the step returns a new state of identical
         # structure, so XLA can update params/opt/BN stats in place instead
         # of double-buffering them (meaningful at B>=128 on a 16 GB chip)
-        self._train_step = jax.jit(partial(self._step_impl, train=True), donate_argnums=(0,))
+        self._train_step_jit = jax.jit(partial(self._step_impl, train=True), donate_argnums=(0,))
         self._eval_step = jax.jit(partial(self._step_impl, train=False))
+        # opt-in warm start: serialize/reload the compiled train step
+        # (training.exe_cache_dir / train.py --exe_cache; utils/exe_cache)
+        self.exe_cache_dir = tr.get("exe_cache_dir")
+        self._train_step_cached = None
 
         if self.mesh is not None:
             self._data_sharding = jax.sharding.NamedSharding(
@@ -158,6 +162,23 @@ class Trainer:
         return state
 
     # ---------------------------------------------------------------- steps
+
+    def _train_step(self, state, imgs, masks):
+        """One jitted train step (donates ``state``).  With
+        ``training.exe_cache_dir`` set, the compiled executable is
+        serialized/reloaded across processes (utils/exe_cache) — the
+        tunnel's 380-930 s first compile becomes a ~0.3 s reload."""
+        if self.exe_cache_dir is None:
+            return self._train_step_jit(state, imgs, masks)
+        if self._train_step_cached is None:
+            from dfc_sa_unet_tpu.utils.exe_cache import cached_compile
+
+            self._train_step_cached = cached_compile(
+                self._train_step_jit, self.exe_cache_dir,
+                f"train:{type(self.model).__name__}:{self.loss_type}:{self.grad_accum}",
+                state, imgs, masks,
+            )
+        return self._train_step_cached(state, imgs, masks)
 
     def _forward(self, params, batch_stats, x, train, rng):
         variables = {"params": params}

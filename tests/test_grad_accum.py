@@ -77,3 +77,23 @@ def test_grad_accum_matches_sequential_replay(tmp_path):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6, rtol=1e-5)
     for got, want in zip(jax.tree.leaves(new_state.batch_stats), jax.tree.leaves(stats)):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6, rtol=1e-5)
+
+
+def test_train_step_exe_cache_dispatch(tmp_path):
+    """With training.exe_cache_dir set, the step compiles through the
+    executable cache (entry written) and still produces finite metrics
+    (on the CPU test backend the cached executable falls back to jit)."""
+    cfg = {**CFG, "logging": {"log_dir": str(tmp_path / "log"),
+                              "images_dir": str(tmp_path / "log"),
+                              "save_best_worst_samples": 0}}
+    cfg["training"] = {**CFG["training"], "grad_accum": 1,
+                       "exe_cache_dir": str(tmp_path / "cache")}
+    model = create_model(cfg)
+    trainer = Trainer(model, None, None, cfg, seed=0)
+    rng = np.random.default_rng(1)
+    images = rng.integers(0, 256, (2, 48, 48, 3), dtype=np.uint8)
+    masks = rng.integers(0, 2, (2, 48, 48)).astype(np.uint8) * 255
+    state = trainer.init_state({"image": images})
+    _, metrics = trainer._train_step(state, jnp.asarray(images), jnp.asarray(masks))
+    assert np.isfinite(float(metrics["loss"]))
+    assert list((tmp_path / "cache").glob("exe_*.bin"))

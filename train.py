@@ -47,6 +47,9 @@ def main():
     )
     parser.add_argument("--data_parallel", action="store_true", help="Shard batches over all devices")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--exe_cache", type=str, default=None,
+                        help="directory for compiled train-step caching (skips the "
+                             "~6-15 min first TPU compile on warm starts)")
     parser.add_argument("--grad_accum", type=int, default=None,
                         help="split each batch into N sequential microbatches inside the "
                              "jitted step (one averaged update) — trains batches beyond "
@@ -56,6 +59,8 @@ def main():
     config = load_config(args.config)
     if args.grad_accum:
         config["training"]["grad_accum"] = args.grad_accum
+    if args.exe_cache:
+        config["training"]["exe_cache_dir"] = args.exe_cache
     apply_overrides(
         config, args.loss, args.alpha, args.beta, args.weight_bce, args.weight_dice,
         args.bce_weight, args.dice_weight, args.contour_weight, args.augmentation,

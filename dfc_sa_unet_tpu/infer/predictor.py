@@ -109,13 +109,20 @@ class Predictor:
     """
 
     def __init__(self, model, variables, compute_dtype=None, apply_fn=None,
-                 exe_cache_dir=None):
+                 exe_cache_dir=None, cache_salt=""):
         self.model = model
         self.variables = variables
         self.compute_dtype = compute_dtype or jnp.float32
         # Executable cache (utils/exe_cache): skips the 380-930 s first
         # tunnel compile on warm starts (measured 0.3 s reload).
+        # ``cache_salt`` must cover any constants baked into apply_fn that
+        # the source fingerprint cannot see (e.g. engine-folded weights —
+        # inference.py passes tree_fingerprint of the checkpoint).  The
+        # model's own hyperparameters (pool_size, features, ...) are
+        # hashed from its dataclass repr: two configs of the same class
+        # and weight shapes still produce different executables.
         self.exe_cache_dir = exe_cache_dir
+        self.cache_salt = cache_salt
         self._compiled = {}  # input shape -> compiled executable
         if apply_fn is None:
             def apply_fn(variables, x):
@@ -132,12 +139,21 @@ class Predictor:
     def predict_probs(self, images_u8: np.ndarray) -> np.ndarray:
         """[B,H,W,3] uint8 -> [B,H,W] probabilities.
 
-        Batches in [64, 128) are zero-padded to 128 and the padding
-        discarded: on v5e, XLA's conv strategy for those shapes runs at
-        ~45% of the batch-128 rate, so computing 128 is faster than
-        computing 64-127 (measured sweep in PERF.md; B<64 native wins).
+        Batch-shape policy (measured sweep in PERF.md): batch 128 is the
+        fast shape on v5e — XLA's conv strategy for most other sizes runs
+        at ~45% of its rate.  Batches in [64, 128) are zero-padded to 128
+        and the padding discarded (computing 128 beats computing 64-127);
+        batches > 128 are processed in 128-sized chunks (a 160-batch run
+        native lands on the cliff; 128+32 does not), with the tail reusing
+        the same policy.  B < 64 native wins over padding.
         """
         n = images_u8.shape[0]
+        if n > 128:
+            images_u8 = np.asarray(images_u8)
+            out = np.empty((n, *images_u8.shape[1:3]), np.float32)
+            for lo in range(0, n, 128):
+                out[lo : lo + 128] = self.predict_probs(images_u8[lo : lo + 128])
+            return out
         if 64 <= n < 128:
             pad = np.zeros((128 - n, *images_u8.shape[1:]), dtype=np.uint8)
             return self.predict_probs(np.concatenate([np.asarray(images_u8), pad]))[:n]
@@ -145,12 +161,16 @@ class Predictor:
         if self.exe_cache_dir is not None:
             key = images_u8.shape
             if key not in self._compiled:
+                import hashlib
+
                 from dfc_sa_unet_tpu.utils.exe_cache import cached_compile
 
+                mh = hashlib.sha1(repr(self.model).encode()).hexdigest()[:12]
                 self._compiled[key] = cached_compile(
                     self._forward_u8, self.exe_cache_dir,
-                    f"{type(self.model).__name__}:{jnp.dtype(self.compute_dtype).name}",
+                    f"{type(self.model).__name__}:{mh}:{jnp.dtype(self.compute_dtype).name}",
                     self.variables, images_u8,
+                    salt=self.cache_salt,
                 )
             probs = self._compiled[key](self.variables, images_u8)
         else:

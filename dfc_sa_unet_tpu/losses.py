@@ -22,29 +22,54 @@ import numpy as np
 _EPS_LOG = -100.0  # torch BCELoss clamps log terms at -100
 
 
-def _bce(p: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
-    """torch.nn.BCELoss (mean reduction) on probabilities."""
+def _mask_bt(x: jnp.ndarray, sample_mask) -> jnp.ndarray:
+    """Zero out the padded samples of a [B, ...] tensor (mask is [B])."""
+    if sample_mask is None:
+        return x
+    return x * sample_mask.astype(x.dtype).reshape(-1, *([1] * (x.ndim - 1)))
+
+
+def _bce(p: jnp.ndarray, t: jnp.ndarray, sample_mask=None) -> jnp.ndarray:
+    """torch.nn.BCELoss (mean reduction) on probabilities.
+
+    With ``sample_mask`` ([B] of 0/1) the mean runs over the valid
+    samples' pixels only — exactly the value an unpadded batch of just
+    the valid samples would produce (used for sharded partial eval
+    batches, train/trainer.py)."""
     p = p.astype(jnp.float32)
     t = t.astype(jnp.float32)
     log_p = jnp.clip(jnp.log(p), _EPS_LOG)
     log_1p = jnp.clip(jnp.log1p(-p), _EPS_LOG)
-    return -jnp.mean(t * log_p + (1.0 - t) * log_1p)
+    terms = t * log_p + (1.0 - t) * log_1p
+    if sample_mask is None:
+        return -jnp.mean(terms)
+    w = jnp.broadcast_to(
+        sample_mask.astype(jnp.float32).reshape(-1, *([1] * (terms.ndim - 1))), terms.shape
+    )
+    return -jnp.sum(terms * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
-def dice_loss(pred: jnp.ndarray, target: jnp.ndarray, smooth: float = 1.0) -> jnp.ndarray:
-    """Soft Dice loss over the flattened batch (reference utils/metrics.py:6-24)."""
-    p = pred.astype(jnp.float32).reshape(-1)
-    t = target.astype(jnp.float32).reshape(-1)
+def dice_loss(
+    pred: jnp.ndarray, target: jnp.ndarray, smooth: float = 1.0, sample_mask=None
+) -> jnp.ndarray:
+    """Soft Dice loss over the flattened batch (reference utils/metrics.py:6-24).
+
+    Sum-based, so masked (zeroed) padding samples contribute nothing:
+    the masked value equals the loss of the valid samples alone."""
+    p = _mask_bt(pred.astype(jnp.float32), sample_mask).reshape(-1)
+    t = _mask_bt(target.astype(jnp.float32), sample_mask).reshape(-1)
     inter = jnp.sum(p * t)
     return 1.0 - (2.0 * inter + smooth) / (jnp.sum(p) + jnp.sum(t) + smooth)
 
 
 def tversky_loss(
-    pred: jnp.ndarray, target: jnp.ndarray, alpha: float = 0.5, beta: float = 0.5, smooth: float = 1.0
+    pred: jnp.ndarray, target: jnp.ndarray, alpha: float = 0.5, beta: float = 0.5,
+    smooth: float = 1.0, sample_mask=None,
 ) -> jnp.ndarray:
-    """Tversky loss (reference utils/metrics.py:26-50)."""
-    p = pred.astype(jnp.float32).reshape(-1)
-    t = target.astype(jnp.float32).reshape(-1)
+    """Tversky loss (reference utils/metrics.py:26-50).  Sum-based: masked
+    padding contributes 0 to tp/fp/fn (p=0 and t=0 zero every term)."""
+    p = _mask_bt(pred.astype(jnp.float32), sample_mask).reshape(-1)
+    t = _mask_bt(target.astype(jnp.float32), sample_mask).reshape(-1)
     tp = jnp.sum(p * t)
     fp = jnp.sum((1.0 - t) * p)
     fn = jnp.sum(t * (1.0 - p))
@@ -52,10 +77,12 @@ def tversky_loss(
 
 
 def bce_dice_loss(
-    pred: jnp.ndarray, target: jnp.ndarray, weight_bce: float = 1.0, weight_dice: float = 1.0
+    pred: jnp.ndarray, target: jnp.ndarray, weight_bce: float = 1.0, weight_dice: float = 1.0,
+    sample_mask=None,
 ) -> jnp.ndarray:
     """Weighted BCE(prob) + Dice (reference utils/metrics.py:52-78)."""
-    return weight_bce * _bce(pred, target) + weight_dice * dice_loss(pred, target, 1.0)
+    return (weight_bce * _bce(pred, target, sample_mask)
+            + weight_dice * dice_loss(pred, target, 1.0, sample_mask))
 
 
 _LAPLACIAN = np.array(
@@ -81,6 +108,7 @@ def joint_loss(
     bce_weight: float = 1.0,
     dice_weight: float = 1.0,
     contour_weight: float = 1.0,
+    sample_mask=None,
 ) -> jnp.ndarray:
     """BCE + Dice + Laplacian contour penalty (reference utils/metrics.py:96-176).
 
@@ -95,8 +123,12 @@ def joint_loss(
     p = jnp.nan_to_num(p, nan=0.5, posinf=1.0, neginf=0.0)
     t = jnp.nan_to_num(t, nan=0.0)
     p = jnp.clip(p, 1e-7, 1.0 - 1e-7)
+    # mask AFTER the clip: padded samples' probs would otherwise sit at
+    # the clip floor (1e-7 per pixel) and leak into the dice sums below
+    p = _mask_bt(p, sample_mask)
+    t = _mask_bt(t, sample_mask)
 
-    l_bce = _bce(p, t)
+    l_bce = _bce(p, t, sample_mask)
     # DiceLoss(smooth=1e-6) applied to re-derived logits == dice on p.
     pf, tf = p.reshape(-1), t.reshape(-1)
     inter = jnp.sum(pf * tf)
@@ -107,7 +139,7 @@ def joint_loss(
 
     pred_contour = jnp.clip(_contour(p), 0.0, 1.0)
     target_contour = jax.lax.stop_gradient(jnp.clip(_contour(t), 0.0, 1.0))
-    l_cp = _bce(pred_contour, target_contour)
+    l_cp = _bce(pred_contour, target_contour, sample_mask)
     l_cp = jnp.where(jnp.isnan(l_cp), 0.0, l_cp)
 
     total = l_seg + contour_weight * l_cp
@@ -119,20 +151,24 @@ def compute_loss(
     target: jnp.ndarray,
     loss_type: str = "dice",
     loss_params: Optional[Mapping[str, Any]] = None,
+    sample_mask=None,
 ) -> jnp.ndarray:
     """Loss dispatch matching reference utils/metrics.py:239-258.
 
     Accepts both the code's and the configs' bce_dice weight spellings.
+    ``sample_mask`` ([B] of 0/1) makes the loss of a zero-padded batch
+    equal that of the valid samples alone (sharded partial eval batches).
     """
     lp = dict(loss_params or {})
     if loss_type == "dice":
-        return dice_loss(pred, target)
+        return dice_loss(pred, target, sample_mask=sample_mask)
     if loss_type == "tversky":
-        return tversky_loss(pred, target, lp.get("alpha", 0.5), lp.get("beta", 0.5))
+        return tversky_loss(pred, target, lp.get("alpha", 0.5), lp.get("beta", 0.5),
+                            sample_mask=sample_mask)
     if loss_type == "bce_dice":
         w_bce = lp.get("weight_bce", lp.get("bce_weight", 1.0))
         w_dice = lp.get("weight_dice", lp.get("dice_weight", 1.0))
-        return bce_dice_loss(pred, target, w_bce, w_dice)
+        return bce_dice_loss(pred, target, w_bce, w_dice, sample_mask=sample_mask)
     if loss_type == "joint":
         return joint_loss(
             pred,
@@ -140,5 +176,6 @@ def compute_loss(
             lp.get("bce_weight", 1.0),
             lp.get("dice_weight", 1.0),
             lp.get("contour_weight", 1.0),
+            sample_mask=sample_mask,
         )
     raise ValueError(f"unsupported loss type: {loss_type!r}")

@@ -171,12 +171,28 @@ class Trainer:
         if self.exe_cache_dir is None:
             return self._train_step_jit(state, imgs, masks)
         if self._train_step_cached is None:
+            import hashlib
+            import json
+
             from dfc_sa_unet_tpu.utils.exe_cache import cached_compile
 
+            # Everything traced into the step as a constant must be in the
+            # key: loss params (tversky alpha/beta, bce_dice weights) and
+            # optimizer hyperparameters (lr/momentum/weight_decay) are
+            # compile-time constants, so a hyperparameter sweep sharing one
+            # cache dir must not reuse the first run's executable.
+            tr = dict(self.config.get("training", {}))
+            for k in ("exe_cache_dir", "num_workers", "save_checkpoint_freq",
+                      "num_epochs", "device"):
+                tr.pop(k, None)
+            hp = hashlib.sha1(
+                json.dumps(tr, sort_keys=True, default=str).encode()
+            ).hexdigest()[:12]
             self._train_step_cached = cached_compile(
                 self._train_step_jit, self.exe_cache_dir,
                 f"train:{type(self.model).__name__}:{self.loss_type}:{self.grad_accum}",
                 state, imgs, masks,
+                salt=hp, donates=True,
             )
         return self._train_step_cached(state, imgs, masks)
 
@@ -192,7 +208,7 @@ class Trainer:
             return logits, mutated.get("batch_stats", batch_stats)
         return out, batch_stats
 
-    def _step_impl(self, state: TrainState, images_u8, masks_u8, *, train: bool):
+    def _step_impl(self, state: TrainState, images_u8, masks_u8, valid=None, *, train: bool):
         x = normalize_on_device(images_u8, self.compute_dtype or jnp.float32)
         t = binarize_mask_on_device(masks_u8)
         rng = jax.random.fold_in(self.base_key, state.step)
@@ -200,7 +216,13 @@ class Trainer:
         if not train:
             logits, _ = self._forward(state.params, state.batch_stats, x, False, rng)
             probs = jax.nn.sigmoid(logits.astype(jnp.float32))
-            loss = compute_loss(probs, t, self.loss_type, self.loss_params)
+            if valid is not None:
+                # zero-padded partial batch (sharded eval): masked probs +
+                # mask-aware losses make every metric equal the unpadded
+                # value exactly (eval-mode BN -> padding never affects the
+                # valid samples' forward)
+                probs = probs * valid.reshape(-1, *([1] * (probs.ndim - 1)))
+            loss = compute_loss(probs, t, self.loss_type, self.loss_params, sample_mask=valid)
             iou, dice = hard_dice_iou(probs, t)
             ps_iou, ps_dice = per_sample_hard_dice_iou(probs, t)
             return state, {
@@ -257,13 +279,50 @@ class Trainer:
         )
         return new_state, {"loss": loss, "iou": iou, "dice": dice, "finite": finite}
 
-    def _put_batch(self, batch):
+    def _put_batch(self, batch, pad_to_devices: bool = False):
+        """Move a batch to device(s).  Returns (imgs, masks, valid).
+
+        Under a mesh, a batch whose size is not a multiple of the device
+        count cannot be sharded.  For eval (``pad_to_devices=True``) it is
+        zero-padded up to the next multiple and a [B] validity mask is
+        returned — the mask-aware eval step reproduces the unpadded
+        metrics exactly.  For training, padding would perturb BatchNorm
+        batch statistics (and hence the valid samples' gradients), so the
+        batch runs replicated instead, with a one-time warning.
+        """
         imgs = jnp.asarray(batch["image"])
         masks = jnp.asarray(batch["mask"])
-        if self._data_sharding is not None and imgs.shape[0] % self.mesh.devices.size == 0:
+        valid = None
+        if self._data_sharding is not None:
+            n_dev = self.mesh.devices.size
+            n = imgs.shape[0]
+            if n % n_dev != 0:
+                if pad_to_devices:
+                    pad = (-n) % n_dev
+                    imgs = jnp.concatenate(
+                        [imgs, jnp.zeros((pad, *imgs.shape[1:]), imgs.dtype)]
+                    )
+                    masks = jnp.concatenate(
+                        [masks, jnp.zeros((pad, *masks.shape[1:]), masks.dtype)]
+                    )
+                    valid = jnp.concatenate(
+                        [jnp.ones((n,), jnp.float32), jnp.zeros((pad,), jnp.float32)]
+                    )
+                else:
+                    if not getattr(self, "_warned_replicated", False):
+                        self._warned_replicated = True
+                        print(
+                            f"Warning: train batch of {n} is not divisible by the "
+                            f"{n_dev}-device mesh; running it replicated (exact math, "
+                            f"no data-parallel speedup). Size batches to a multiple "
+                            f"of {n_dev} to avoid this."
+                        )
+                    return imgs, masks, None
             imgs = jax.device_put(imgs, self._data_sharding)
             masks = jax.device_put(masks, self._data_sharding)
-        return imgs, masks
+            if valid is not None:
+                valid = jax.device_put(valid, self._data_sharding)
+        return imgs, masks, valid
 
     # ---------------------------------------------------------------- epochs
 
@@ -280,7 +339,7 @@ class Trainer:
             desc=f"Epoch {epoch + 1}/{self.num_epochs} [Train]", leave=False,
         )
         for batch in progress:
-            imgs, masks = self._put_batch(batch)
+            imgs, masks, _ = self._put_batch(batch)
             state, metrics = self._train_step(state, imgs, masks)
             loss = float(metrics["loss"])
             timer.tick(items=int(imgs.shape[0]))
@@ -310,8 +369,8 @@ class Trainer:
         n_batches = 0
         sample_records = []  # (dice, iou, filename)
         for batch in loader:
-            imgs, masks = self._put_batch(batch)
-            _, metrics = self._eval_step(state, imgs, masks)
+            imgs, masks, valid = self._put_batch(batch, pad_to_devices=True)
+            _, metrics = self._eval_step(state, imgs, masks, valid)
             loss = float(metrics["loss"])
             if not np.isfinite(loss):
                 print("Warning: NaN loss detected in validation; batch skipped")

@@ -13,12 +13,27 @@ Usage:
     fn = cached_compile(jitted_fn, cache_dir, tag, *example_args)
     out = fn(*args)
 
-Cache entries are keyed by ``tag`` plus the abstract shapes/dtypes of the
-example args, so a stale file for different shapes is never reused.  The
-returned callable degrades gracefully: if the cached executable fails to
-load OR to execute (foreign device/topology — e.g. the multi-device CPU
-test backend, where deserialized executables mis-handle device
-assignment), it falls back to the plain jitted function permanently.
+Staleness safety — a serialized executable bakes in everything that was
+a compile-time constant, so the key must cover all of it:
+
+  * the abstract shapes/dtypes of the example args (per-shape entries),
+  * a **source fingerprint**: sha1 over every ``dfc_sa_unet_tpu/**/*.py``
+    plus the jax/jaxlib versions — editing model math invalidates every
+    entry (previously an edited ``blocks.py`` would silently serve the
+    old model's results),
+  * a caller-provided ``salt`` for constants the source hash cannot see —
+    e.g. weights closed over by an engine-mode apply_fn (the Predictor
+    hashes the model config; inference.py adds a folded-weights
+    fingerprint via :func:`tree_fingerprint`), or the Trainer's
+    loss/optimizer hyperparameters (traced in as constants).
+
+Donation safety — for a step compiled with ``donate_argnums`` the
+catch-and-retry fallback is unsound: if the cached executable fails
+*after* the inputs were donated, retrying with the same (now deleted)
+buffers crashes.  Pass ``donates=True`` and the loaded executable is
+instead verified up front with a **dry run on zero-filled dummies**; a
+failure discards the cache entry and compiles fresh, before any caller
+buffer is ever donated.
 """
 
 import hashlib
@@ -27,30 +42,99 @@ import pickle
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
+
+_SOURCE_FP_CACHE: dict = {}
 
 
-def _key(tag: str, args) -> str:
-    parts = [tag]
+def source_fingerprint() -> str:
+    """sha1 over the package's .py sources + jax/jaxlib versions.
+
+    Any edit to the framework's Python (and hence, conservatively, to any
+    math that could be baked into a compiled executable) produces a new
+    fingerprint and so a cache miss.  Computed once per process.
+    """
+    if "fp" in _SOURCE_FP_CACHE:
+        return _SOURCE_FP_CACHE["fp"]
+    import jaxlib
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    h = hashlib.sha1()
+    h.update(f"jax={jax.__version__};jaxlib={jaxlib.__version__};".encode())
+    for dirpath, dirnames, filenames in sorted(os.walk(pkg_root)):
+        dirnames.sort()
+        if "__pycache__" in dirpath:
+            continue
+        for fn in sorted(filenames):
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            h.update(os.path.relpath(path, pkg_root).encode())
+            with open(path, "rb") as f:
+                h.update(f.read())
+    _SOURCE_FP_CACHE["fp"] = h.hexdigest()[:16]
+    return _SOURCE_FP_CACHE["fp"]
+
+
+def tree_fingerprint(tree) -> str:
+    """sha1 over a pytree's leaf shapes/dtypes/values (for salting cache
+    keys with constants that get baked into an executable, e.g. engine
+    weights closed over by the apply_fn)."""
+    import numpy as np
+
+    h = hashlib.sha1()
+    for leaf in jax.tree.leaves(tree):
+        arr = np.asarray(leaf)
+        h.update(f"{arr.shape}:{arr.dtype};".encode())
+        h.update(arr.tobytes())
+    return h.hexdigest()[:16]
+
+
+def _key(tag: str, salt: str, args) -> str:
+    parts = [tag, salt, source_fingerprint()]
     for a in jax.tree.leaves(args):
         parts.append(f"{getattr(a, 'shape', ())}:{getattr(a, 'dtype', type(a).__name__)}")
     return hashlib.sha1("|".join(map(str, parts)).encode()).hexdigest()[:20]
 
 
-def cached_compile(jitted: Callable, cache_dir: str, tag: str, *args) -> Callable:
+def _dry_run(exe, args) -> None:
+    """Execute ``exe`` once on zero-filled dummies shaped like ``args``.
+
+    Proves the executable is runnable on the local backend/topology
+    before any real (possibly to-be-donated) buffers are handed to it.
+    The dummies are themselves donated/consumed — that's fine, they are
+    garbage.  Raises on any failure."""
+    dummies = jax.tree.map(
+        lambda a: jnp.zeros(a.shape, a.dtype) if hasattr(a, "shape") else a, args
+    )
+    jax.block_until_ready(exe(*dummies))
+
+
+def cached_compile(jitted: Callable, cache_dir: str, tag: str, *args,
+                   salt: str = "", donates: bool = False) -> Callable:
     """Return a callable equivalent to ``jitted`` for arguments shaped
-    like ``args``, backed by an on-disk compiled executable when possible."""
+    like ``args``, backed by an on-disk compiled executable when possible.
+
+    ``salt`` extends the cache key (see module docstring).  ``donates``
+    marks a function compiled with donate_argnums: the cached executable
+    is then dry-run-verified before first use instead of relying on the
+    catch-and-retry fallback (which would replay donated buffers)."""
     from jax.experimental import serialize_executable as se
 
     os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, f"exe_{_key(tag, args)}.bin")
+    path = os.path.join(cache_dir, f"exe_{_key(tag, salt, args)}.bin")
     exe = None
     if os.path.exists(path):
         try:
             with open(path, "rb") as f:
                 payload, in_tree, out_tree = pickle.load(f)
             exe = se.deserialize_and_load(payload, in_tree, out_tree)
+            if donates:
+                _dry_run(exe, args)
         except Exception as e:  # noqa: BLE001 — stale/foreign entry
-            print(f"exe_cache: reload failed ({type(e).__name__}); recompiling")
+            print(f"exe_cache: cached executable unusable here "
+                  f"({type(e).__name__}); recompiling")
+            exe = None
     if exe is None:
         exe = jitted.lower(*args).compile()
         try:
@@ -61,17 +145,29 @@ def cached_compile(jitted: Callable, cache_dir: str, tag: str, *args) -> Callabl
             os.replace(tmp, path)
         except Exception as e:  # noqa: BLE001 — cache write is best-effort
             print(f"exe_cache: serialize failed ({type(e).__name__}); continuing uncached")
+    expected = tuple(
+        (a.shape, str(a.dtype))
+        for a in jax.tree.leaves(args) if hasattr(a, "shape")
+    )
+
+    def _shapes(a):
+        return tuple((x.shape, str(x.dtype)) for x in jax.tree.leaves(a) if hasattr(x, "shape"))
 
     state = {"exe": exe}
 
     def call(*a):
-        if state["exe"] is not None:
+        if state["exe"] is not None and _shapes(a) == expected:
+            if donates:
+                # fresh compile or dry-run-verified: safe to call directly
+                # (no catch-retry — the inputs may be donated mid-failure)
+                return state["exe"](*a)
             try:
                 return state["exe"](*a)
             except Exception as e:  # noqa: BLE001 — foreign executable
                 print(f"exe_cache: cached executable unusable here "
                       f"({type(e).__name__}); falling back to jit")
                 state["exe"] = None
+        # different shapes (e.g. a partial final batch) or disabled cache
         return jitted(*a)
 
     return call

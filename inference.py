@@ -94,17 +94,27 @@ def main(args):
     model = ModelFactory.get_model(config, dtype=dtype)
     variables = load_model_variables(model, model_path, img_size, config["model"].get("in_channels", 3))
     apply_fn = None
+    cache_salt = ""
     if args.engine:
         if config["model"]["name"] == "DFC-SA-Res-Block":
             from dfc_sa_unet_tpu.infer.engine import DFCEngine
 
             engine = DFCEngine(config, variables, dtype=dtype or jnp.float32)
             apply_fn = lambda _, x: engine._forward(x)  # noqa: E731
+            if args.exe_cache:
+                # engine weights are baked constants in the compiled
+                # executable (apply_fn closes over them) — key the cache on
+                # their values so a different checkpoint never reuses them
+                from dfc_sa_unet_tpu.utils.exe_cache import tree_fingerprint
+
+                cache_salt = "engine:" + tree_fingerprint(
+                    {"blocks": engine.blocks, "ups": engine.ups, "final": engine.final}
+                )
             print("Using the folded+fused inference engine.")
         else:
             print("(--engine only supports DFC-SA-Res-Block; using standard path)")
     predictor = Predictor(model, variables, compute_dtype=dtype, apply_fn=apply_fn,
-                          exe_cache_dir=args.exe_cache)
+                          exe_cache_dir=args.exe_cache, cache_salt=cache_salt)
     print(f"Model {config['model'].get('name')} ready on {jax.devices()[0]}")
     if args.tta:
         print("Test-time augmentation (TTA) enabled.")

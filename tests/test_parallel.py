@@ -54,7 +54,7 @@ def test_sharded_train_step_matches_single_device(tmp_path):
     mesh = data_parallel_mesh()
     t8 = Trainer(model, loader, loader, cfg, mesh=mesh, seed=0)
     s8 = t8.init_state(batch)
-    imgs, masks = t8._put_batch(batch)
+    imgs, masks, _ = t8._put_batch(batch)
     s8n, m8 = t8._train_step(s8, imgs, masks)
 
     np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), atol=1e-5, rtol=1e-5)
@@ -95,7 +95,7 @@ def test_explicit_spmd_step_matches_gspmd(tmp_path):
     # GSPMD path
     tg = Trainer(model, loader, loader, cfg, mesh=mesh, seed=0)
     sg = tg.init_state(batch)
-    imgs, masks = tg._put_batch(batch)
+    imgs, masks, _ = tg._put_batch(batch)
     sg0 = jax.tree.map(jnp.array, sg)  # _train_step donates sg
     sgn, mg = tg._train_step(sg, imgs, masks)
     sg = sg0
@@ -138,7 +138,7 @@ def test_explicit_spmd_joint_loss_matches_single_device(tmp_path):
 
     tg = Trainer(model, loader, loader, cfg, mesh=mesh, seed=0)
     sg = tg.init_state(batch)
-    imgs, masks = tg._put_batch(batch)
+    imgs, masks, _ = tg._put_batch(batch)
     sg0 = jax.tree.map(jnp.array, sg)  # _train_step donates sg
     sgn, mg = tg._train_step(sg, imgs, masks)
     sg = sg0
@@ -191,7 +191,7 @@ def test_explicit_spmd_dropout_rng_decorrelated(tmp_path):
     model = ModelFactory.get_model(cfg)
     trainer = Trainer(model, loader, loader, cfg, mesh=mesh, seed=0)
     state = trainer.init_state(batch)
-    imgs, masks = trainer._put_batch(batch)
+    imgs, masks, _ = trainer._put_batch(batch)
     tx = optim.from_config(cfg)
     step = make_spmd_train_step(model, tx, mesh, loss_type="bce_dice",
                                 loss_params={"bce_weight": 0.5, "dice_weight": 0.5})

@@ -1,0 +1,147 @@
+"""Fast multi-device smoke tests (in the default gate, unlike
+test_parallel.py's slow set): a sharded-vs-single train step and the
+padded+masked partial eval batch.  Tiny shapes so the whole file compiles
+and runs in well under a minute on the 1-core CPU conftest."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dfc_sa_unet_tpu.data.synthetic import generate
+from dfc_sa_unet_tpu.data.loader import DataLoaderFactory
+from dfc_sa_unet_tpu.models.factory import ModelFactory
+from dfc_sa_unet_tpu.parallel import data_parallel_mesh
+from dfc_sa_unet_tpu.train.trainer import Trainer
+
+
+def _config(root, log_dir, batch=8):
+    return {
+        "training": {"num_epochs": 1, "batch_size": batch, "learning_rate": 0.01,
+                     "momentum": 0.9, "weight_decay": 1e-4, "num_workers": 1,
+                     "save_checkpoint_freq": 10, "device": "auto",
+                     "loss": {"type": "bce_dice",
+                              "params": {"bce_weight": 0.5, "dice_weight": 0.5}}},
+        "model": {"name": "DFC-SA-Res-Block", "features": [4, 8, 12, 16], "pool_size": 1},
+        "dataset": {"train_dir": root, "val_dir": root, "img_size": [16, 16],
+                    "augmentation": False},
+        "logging": {"log_dir": log_dir, "images_dir": log_dir + "/images",
+                    "save_best_worst_samples": 0},
+    }
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("pfast")
+    root = generate(str(tmp / "d"), n=8, size=16, seed=21)
+    cfg = _config(root, str(tmp / "logs"))
+    loader = DataLoaderFactory(cfg, seed=0).get_val_loader()
+    batch = next(iter(loader))
+    model = ModelFactory.get_model(cfg)
+    return cfg, loader, batch, model
+
+
+class _MiniNet:
+    """Tiny conv+BN+conv module over the framework's own nn layers —
+    compiles in seconds on CPU while still exercising every piece of the
+    SPMD train machinery the flagship uses (cross-replica BatchNorm via
+    the contextvar axis, donated TrainState, _put_batch sharding).  The
+    full flagship sharded-vs-single check stays in the slow set
+    (test_parallel.py)."""
+
+    def __new__(cls):
+        import flax.linen as nn
+
+        from dfc_sa_unet_tpu.nn.layers import BatchNorm, Conv
+
+        class MiniNet(nn.Module):
+            @nn.compact
+            def __call__(self, x, train: bool = False):
+                x = Conv(features=4, kernel_size=3, padding=1, name="c1")(x)
+                x = BatchNorm(name="bn1")(x, train=train)
+                x = nn.relu(x)
+                return Conv(features=1, kernel_size=1, name="c2")(x)
+
+        return MiniNet()
+
+
+def test_sharded_train_step_matches_single_device_fast(setup):
+    """The SPMD regression canary for the default gate: one GSPMD-sharded
+    train step must equal the single-device step (global grads + global
+    BN batch statistics by construction)."""
+    cfg, loader, batch, _ = setup
+    model = _MiniNet()
+
+    t1 = Trainer(model, loader, loader, cfg, mesh=None, seed=0)
+    s1 = t1.init_state(batch)
+    s1n, m1 = t1._train_step(s1, jnp.asarray(batch["image"]), jnp.asarray(batch["mask"]))
+
+    mesh = data_parallel_mesh()
+    t8 = Trainer(model, loader, loader, cfg, mesh=mesh, seed=0)
+    s8 = t8.init_state(batch)
+    imgs, masks, valid = t8._put_batch(batch)
+    assert valid is None
+    assert len(imgs.sharding.device_set) == 8, imgs.sharding
+    s8n, m8 = t8._train_step(s8, imgs, masks)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), atol=1e-5, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1n.params), jax.tree.leaves(s8n.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(s1n.batch_stats), jax.tree.leaves(s8n.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
+
+
+def test_partial_eval_batch_stays_sharded_and_exact(setup):
+    """A val batch of 6 on the 8-device mesh: _put_batch pads it to 8 and
+    shards (previously it silently ran replicated), and the mask-aware
+    eval step reproduces the unpadded single-device metrics exactly."""
+    cfg, loader, batch, model = setup
+    small = {k: (v[:6] if hasattr(v, "__getitem__") and not isinstance(v, str) else v)
+             for k, v in batch.items()}
+    assert small["image"].shape[0] == 6
+
+    # single-device reference (no padding anywhere)
+    t1 = Trainer(model, loader, loader, cfg, mesh=None, seed=0)
+    s1 = t1.init_state(batch)
+    _, m1 = t1._eval_step(s1, jnp.asarray(small["image"]), jnp.asarray(small["mask"]), None)
+
+    mesh = data_parallel_mesh()
+    t8 = Trainer(model, loader, loader, cfg, mesh=mesh, seed=0)
+    s8 = t8.init_state(batch)
+    imgs, masks, valid = t8._put_batch(small, pad_to_devices=True)
+    assert imgs.shape[0] == 8 and masks.shape[0] == 8
+    assert valid is not None and valid.shape == (8,)
+    np.testing.assert_array_equal(np.asarray(valid), [1, 1, 1, 1, 1, 1, 0, 0])
+    # actually sharded over all 8 devices, one sample per device
+    assert len(imgs.sharding.device_set) == 8, imgs.sharding
+    assert imgs.addressable_shards[0].data.shape[0] == 1
+
+    _, m8 = t8._eval_step(s8, imgs, masks, valid)
+    for key in ("loss", "iou", "dice"):
+        np.testing.assert_allclose(float(m1[key]), float(m8[key]), atol=1e-5, rtol=1e-5,
+                                   err_msg=key)
+    # per-sample metrics of the valid entries match; padded tail is inert
+    for key in ("per_sample_iou", "per_sample_dice"):
+        np.testing.assert_allclose(
+            np.asarray(m8[key])[:6], np.asarray(m1[key]), atol=1e-5, rtol=1e-4, err_msg=key)
+
+
+def test_partial_eval_all_loss_types_exact(setup):
+    """Masked losses must equal the unpadded values for every loss type
+    (sum-based dice/tversky AND mean-based bce/joint components)."""
+    from dfc_sa_unet_tpu.losses import compute_loss
+
+    rng = np.random.default_rng(3)
+    probs = jnp.asarray(rng.uniform(0.01, 0.99, (6, 16, 16, 1)), jnp.float32)
+    target = jnp.asarray((rng.uniform(size=(6, 16, 16, 1)) > 0.5), jnp.float32)
+    probs_pad = jnp.concatenate([probs, jnp.zeros((2, 16, 16, 1), jnp.float32)])
+    target_pad = jnp.concatenate([target, jnp.zeros((2, 16, 16, 1), jnp.float32)])
+    valid = jnp.asarray([1, 1, 1, 1, 1, 1, 0, 0], jnp.float32)
+
+    params = {"alpha": 0.3, "beta": 0.7, "bce_weight": 0.4, "dice_weight": 0.4,
+              "contour_weight": 0.2}
+    for loss_type in ("dice", "tversky", "bce_dice", "joint"):
+        want = float(compute_loss(probs, target, loss_type, params))
+        got = float(compute_loss(probs_pad, target_pad, loss_type, params, sample_mask=valid))
+        np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-6, err_msg=loss_type)

@@ -29,7 +29,7 @@ BASELINE_IMG_PER_SEC = 2000.0
 
 def build_chained(
     model_name: str, dtype, use_pallas: bool, batch: int, k: int, size: int = 224,
-    engine: bool = False,
+    engine: bool = False, int8: bool = False,
 ):
     from dfc_sa_unet_tpu.models.factory import create_model
     from dfc_sa_unet_tpu.data.loader import normalize_on_device
@@ -46,7 +46,18 @@ def build_chained(
         jax.random.key(0), jnp.zeros((1, size, size, 3), cdtype), train=False
     )
 
-    if engine:
+    if int8:
+        from dfc_sa_unet_tpu.infer.quant import Int8DFCEngine
+        from dfc_sa_unet_tpu.data.loader import normalize_on_device as _norm
+
+        calib = _norm(x_u8[: min(batch, 32)], cdtype)
+        eng = Int8DFCEngine(cfg, variables, dtype=cdtype, calib_batches=[calib])
+
+        def apply_fn(_, x):
+            return eng._forward(x)
+
+        variables = {}
+    elif engine:
         from dfc_sa_unet_tpu.infer.engine import DFCEngine
 
         eng = DFCEngine(cfg, variables, dtype=cdtype)
@@ -80,6 +91,8 @@ def main():
     p.add_argument("--pallas", action="store_true", help="use the Pallas fused attention kernel")
     p.add_argument("--engine", action="store_true",
                    help="use the folded+fused inference engine (DFC-SA only)")
+    p.add_argument("--int8", action="store_true",
+                   help="use the int8 quantized serving engine (DFC-SA only)")
     p.add_argument("--k", type=int, default=8, help="chained steps per timing call")
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--model", type=str, default="DFC-SA-Res-Block")
@@ -93,7 +106,8 @@ def main():
     for b in batches:
         try:
             fn, variables, x = build_chained(
-                args.model, dtype, args.pallas, b, args.k, engine=args.engine
+                args.model, dtype, args.pallas, b, args.k, engine=args.engine,
+                int8=args.int8,
             )
             float(fn(variables, x))  # compile + first run
             dt = min(
@@ -112,7 +126,8 @@ def main():
         "metric": f"{args.model} 224x224 inference images/sec/chip"
                   + (" (bf16)" if dtype else " (f32)")
                   + (" (pallas)" if args.pallas else "")
-                  + (" (engine)" if args.engine else ""),
+                  + (" (engine)" if args.engine else "")
+                  + (" (int8)" if args.int8 else ""),
         "value": round(best_ips, 1),
         "unit": "images/sec",
         "vs_baseline": round(best_ips / BASELINE_IMG_PER_SEC, 4),

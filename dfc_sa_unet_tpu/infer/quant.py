@@ -1,0 +1,241 @@
+"""Int8 (quantized) serving path for the DFC-SA U-Net family.
+
+Why: the bf16 inference ceiling on v5e is ~871 img/s at B=128 — five
+formulations tie, and XLA's conv emitter is at its streaming ceiling
+(PERF.md round-2 evidence chain).  The one untried lever is precision
+below bf16: scripts/bench_int8.py measured s8xs8->s32 convs with a
+dequant+ReLU+requant epilogue at **1.12-1.41x** the bf16 conv on every
+level with Cin >= 256 (and the 8192^2 s8 matmul at 166 TOP/s vs 115
+bf16 TF/s), while the small-Cin levels (down1-down3) tie or lose.  The
+north-star gate is end-metric Dice/IoU delta <= 1e-3 (BASELINE.json),
+not bitwise parity, so serving the big levels in int8 is admissible.
+
+Scheme (standard post-training quantization):
+  * weights: per-out-channel symmetric int8 of the BN-folded kernels
+    (scale_w[c] = max|W[..,c]| / 127),
+  * activations: per-tensor symmetric int8 with STATIC scales calibrated
+    offline (max-abs over calibration batches) — no dynamic range pass
+    at serving time,
+  * each quantized conv runs s8 x s8 -> s32 on the MXU, then one fused
+    f32 epilogue: y * (s_x * s_w[c]) + bias [-> ReLU].  Attention
+    (pooled QKV/softmax/bilinear), gate sigmoid, and the fused mix stay
+    in bf16/f32 — they are ~0.1% of FLOPs and precision-critical.
+  * per block only three tensors are quantized (the block input x and
+    the two concats), each feeding 1-3 convs, so quantize passes
+    amortize.
+
+Which levels quantize is probe-driven (``int8_levels="auto"`` = the
+measured winners); any subset can be selected for A/B.
+
+Reference math anchor: /root/reference/models/unet_dfc_sa_res.py:41-116
+(the DFC block this engine serves).
+"""
+
+from typing import Any, Iterable, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+
+from dfc_sa_unet_tpu.infer.engine import DFCEngine, _conv
+from dfc_sa_unet_tpu.ops.pooling import max_pool
+from dfc_sa_unet_tpu.ops.convt import conv_transpose_2x2
+from dfc_sa_unet_tpu.ops.resize import resize_bilinear
+
+# probe winners (scripts/bench_int8.py + bench_int8_1x1.py, B=128 on v5e):
+# conv3x3 s8+deq vs bf16 — down4 1.12x, up4 1.38x, up3 1.41x, up2 1.35x,
+# up1 1.41x; down1 0.87x, down2 0.95x, down3 1.00x (left in bf16).
+AUTO_INT8_LEVELS = frozenset(
+    {"down4", "bottleneck", "up_conv4", "up_conv3", "up_conv2", "up_conv1"}
+)
+
+
+def quantize_weight(kernel) -> tuple:
+    """Per-out-channel symmetric int8: returns (q[s8], scale[f32, Cout])."""
+    k = jnp.asarray(kernel, jnp.float32)
+    s = jnp.max(jnp.abs(k), axis=tuple(range(k.ndim - 1))) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    q = jnp.clip(jnp.round(k / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def quantize_act(x, scale):
+    """Per-tensor symmetric int8 with a static (calibrated) scale."""
+    return jnp.clip(
+        jnp.round(x.astype(jnp.float32) * (1.0 / scale)), -127, 127
+    ).astype(jnp.int8)
+
+
+def _conv_s8(x8, q, pad):
+    return jax.lax.conv_general_dilated(
+        x8, q, (1, 1), ((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+
+
+class Int8DFCEngine(DFCEngine):
+    """DFCEngine with the probe-winning levels served in int8.
+
+    ``act_scales`` maps ``f"{level}.{x|c2|c3}"`` -> float; pass
+    ``calib_batches`` (normalized NHWC arrays, the same contract as
+    __call__) to calibrate them here, or reuse scales captured earlier
+    (:meth:`collect_act_scales`).
+    """
+
+    def __init__(
+        self,
+        config: Mapping[str, Any],
+        variables: Mapping[str, Any],
+        dtype=jnp.bfloat16,
+        int8_levels="auto",
+        act_scales: Optional[Mapping[str, float]] = None,
+        calib_batches: Optional[Iterable] = None,
+    ):
+        super().__init__(config, variables, dtype=dtype, pallas_conv_levels=None)
+        if int8_levels == "auto":
+            int8_levels = AUTO_INT8_LEVELS
+        self.int8_levels = set(int8_levels)
+
+        # per-block quantized weights from the BN-folded kernels
+        self.qblocks = {}
+        for name in self.int8_levels:
+            d = self.blocks[name]
+            q = {}
+            for key, wk in (("conv", d["conv"][0]), ("attn0", d["attn0"][0]),
+                            ("kg", d["kg"][0]), ("kf", d["kf"][0])):
+                q[key] = quantize_weight(wk)
+            if d["kr"] is not None:  # res_scale already folded into kr
+                q["kr"] = quantize_weight(d["kr"])
+            else:
+                q["kr"] = None
+            self.qblocks[name] = q
+
+        if act_scales is None:
+            if calib_batches is None:
+                raise ValueError("Int8DFCEngine needs act_scales or calib_batches")
+            act_scales = self.collect_act_scales(calib_batches)
+        self.act_scales = {k: float(v) for k, v in act_scales.items()}
+        missing = [f"{n}.{t}" for n in self.int8_levels for t in ("x", "c2", "c3")
+                   if f"{n}.{t}" not in self.act_scales]
+        if missing:
+            raise ValueError(f"act_scales missing entries: {missing}")
+        # rebuild the jitted forward over the overridden _block
+        self._forward = jax.jit(self._build_forward())
+
+    # -------------------------------------------------------- calibration
+
+    def _block_fp_ranges(self, name, x, ranges):
+        """The fp block (engine fallback path) that also records the
+        max-abs of the three tensors the quantized path will quantize."""
+        d = self.blocks[name]
+        kc, bc = d["conv"]
+        ranges[f"{name}.x"] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        y3 = jax.lax.conv_general_dilated(
+            x, kc.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ).astype(x.dtype)
+        a = jnp.maximum(_conv(x, *d["attn0"], padding=0).astype(jnp.float32), 0.0).astype(x.dtype)
+        a = self._lsa(d["lsa"], a)
+        local = jnp.maximum(y3.astype(jnp.float32) + bc, 0.0).astype(x.dtype)
+        combined = jnp.concatenate([local, a], axis=-1)
+        ranges[f"{name}.c2"] = jnp.max(jnp.abs(combined.astype(jnp.float32)))
+        g = _conv(combined, *d["kg"], padding=0)
+        g = jax.nn.sigmoid(g.astype(jnp.float32))
+        lf, af = local.astype(jnp.float32), a.astype(jnp.float32)
+        fused = (g * lf + (1.0 - g) * af).astype(local.dtype)
+        cat3 = jnp.concatenate([fused, combined], axis=-1)
+        ranges[f"{name}.c3"] = jnp.max(jnp.abs(cat3.astype(jnp.float32)))
+        o = _conv(cat3, *d["kf"], padding=0)
+        o = jnp.maximum(o.astype(jnp.float32), 0.0)
+        if d["kr"] is not None:
+            res = jax.lax.conv_general_dilated(
+                x, d["kr"].astype(x.dtype), (1, 1), ((0, 0), (0, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            o = o + res.astype(jnp.float32)
+        else:
+            o = o + d["res_scale"] * x.astype(jnp.float32)
+        return o.astype(local.dtype)
+
+    def _forward_ranges(self, x):
+        """FP forward that returns (logits, {tensor: max-abs})."""
+        ranges = {}
+        x = x.astype(self.dtype)
+        skips = []
+        h = x
+        for i in range(1, 5):
+            h = self._block_fp_ranges(f"down{i}", h, ranges)
+            skips.append(h)
+            h = max_pool(h, 2, 2)
+        h = self._block_fp_ranges("bottleneck", h, ranges)
+        for i in range(4, 0, -1):
+            skip = skips[i - 1]
+            kt, bt = self.ups[f"up{i}"]
+            h = conv_transpose_2x2(h, kt.astype(h.dtype), bt)
+            if h.shape[1:3] != skip.shape[1:3]:
+                h = resize_bilinear(h, skip.shape[1:3], align_corners=False)
+            h = jnp.concatenate([h, skip], axis=-1)
+            h = self._block_fp_ranges(f"up_conv{i}", h, ranges)
+        kf, bf = self.final
+        return _conv(h, kf, bf, padding=0), ranges
+
+    def collect_act_scales(self, calib_batches: Iterable) -> dict:
+        """Max-abs calibration over normalized NHWC batches -> scales."""
+        fwd = jax.jit(self._forward_ranges)
+        maxima: dict = {}
+        n = 0
+        for xb in calib_batches:
+            _, ranges = fwd(jnp.asarray(xb))
+            for k, v in ranges.items():
+                v = float(v)
+                maxima[k] = max(maxima.get(k, 0.0), v)
+            n += 1
+        if n == 0:
+            raise ValueError("empty calibration stream")
+        return {k: max(v, 1e-6) / 127.0 for k, v in maxima.items()}
+
+    # ---------------------------------------------------- quantized block
+
+    def _block(self, name, x):
+        if name not in getattr(self, "qblocks", {}):
+            return super()._block(name, x)
+        d = self.blocks[name]
+        q = self.qblocks[name]
+        sx = self.act_scales[f"{name}.x"]
+        sc2 = self.act_scales[f"{name}.c2"]
+        sc3 = self.act_scales[f"{name}.c3"]
+
+        x8 = quantize_act(x, sx)
+        # conv3x3 + BN(folded) + ReLU, s8 MXU with one f32 epilogue
+        k3, s3 = q["conv"]
+        local_f = jnp.maximum(
+            _conv_s8(x8, k3, 1).astype(jnp.float32) * (sx * s3) + d["conv"][1], 0.0
+        )
+        local = local_f.astype(x.dtype)
+        # attn branch: 1x1 conv (+BN folded) + ReLU then fp attention
+        ka, sa = q["attn0"]
+        a0 = jnp.maximum(
+            _conv_s8(x8, ka, 0).astype(jnp.float32) * (sx * sa) + d["attn0"][1], 0.0
+        ).astype(x.dtype)
+        a = self._lsa(d["lsa"], a0)
+
+        combined = jnp.concatenate([local, a], axis=-1)
+        c2_8 = quantize_act(combined, sc2)
+        kg, sg = q["kg"]
+        g = jax.nn.sigmoid(
+            _conv_s8(c2_8, kg, 0).astype(jnp.float32) * (sc2 * sg) + d["kg"][1]
+        )
+        fused = (g * local_f + (1.0 - g) * a.astype(jnp.float32)).astype(x.dtype)
+
+        cat3 = jnp.concatenate([fused, combined], axis=-1)
+        c3_8 = quantize_act(cat3, sc3)
+        kf, sf = q["kf"]
+        o = jnp.maximum(
+            _conv_s8(c3_8, kf, 0).astype(jnp.float32) * (sc3 * sf) + d["kf"][1], 0.0
+        )
+        if q["kr"] is not None:
+            kr, sr = q["kr"]
+            o = o + _conv_s8(x8, kr, 0).astype(jnp.float32) * (sx * sr)
+        else:
+            o = o + d["res_scale"] * x.astype(jnp.float32)
+        return o.astype(x.dtype)

@@ -93,28 +93,6 @@ def main(args):
     dtype = jnp.bfloat16 if args.bf16 else None
     model = ModelFactory.get_model(config, dtype=dtype)
     variables = load_model_variables(model, model_path, img_size, config["model"].get("in_channels", 3))
-    apply_fn = None
-    cache_salt = ""
-    if args.engine:
-        if config["model"]["name"] == "DFC-SA-Res-Block":
-            from dfc_sa_unet_tpu.infer.engine import DFCEngine
-
-            engine = DFCEngine(config, variables, dtype=dtype or jnp.float32)
-            apply_fn = lambda _, x: engine._forward(x)  # noqa: E731
-            if args.exe_cache:
-                # engine weights are baked constants in the compiled
-                # executable (apply_fn closes over them) — key the cache on
-                # their values so a different checkpoint never reuses them
-                from dfc_sa_unet_tpu.utils.exe_cache import tree_fingerprint
-
-                cache_salt = "engine:" + tree_fingerprint(
-                    {"blocks": engine.blocks, "ups": engine.ups, "final": engine.final}
-                )
-            print("Using the folded+fused inference engine.")
-        else:
-            print("(--engine only supports DFC-SA-Res-Block; using standard path)")
-    predictor = Predictor(model, variables, compute_dtype=dtype, apply_fn=apply_fn,
-                          exe_cache_dir=args.exe_cache, cache_salt=cache_salt)
     print(f"Model {config['model'].get('name')} ready on {jax.devices()[0]}")
     if args.tta:
         print("Test-time augmentation (TTA) enabled.")
@@ -142,6 +120,57 @@ def main(args):
     if not image_files:
         print(f"No image files found in {original_dir}.")
         return
+
+    apply_fn = None
+    cache_salt = ""
+    is_dfc = config["model"]["name"] == "DFC-SA-Res-Block"
+    if args.int8 and not is_dfc:
+        print("(--int8 only supports DFC-SA-Res-Block; using standard path)")
+    if args.engine and not args.int8 and not is_dfc:
+        print("(--engine only supports DFC-SA-Res-Block; using standard path)")
+    if (args.int8 or args.engine) and is_dfc:
+        if args.int8:
+            from dfc_sa_unet_tpu.data.loader import normalize_on_device
+            from dfc_sa_unet_tpu.infer.quant import Int8DFCEngine
+
+            # calibrate activation scales on the first input images at the
+            # model's working resolution (scales are per-tensor scalars, so
+            # any spatial size works; tiles and full frames share them)
+            side = args.tile_size if not args.no_slide_window else img_size[0]
+            calib = []
+            for path in image_files[:8]:
+                im, _ = load_image(path, target_size=(side, side))
+                if im is not None:
+                    calib.append(im)
+            if not calib:
+                raise SystemExit("--int8: no readable calibration images")
+            xs = normalize_on_device(
+                jnp.asarray(np.stack(calib)), dtype or jnp.float32
+            )
+            engine = Int8DFCEngine(config, variables, dtype=dtype or jnp.float32,
+                                   calib_batches=[xs])
+            print(f"Using the int8 quantized serving engine "
+                  f"(levels: {sorted(engine.int8_levels)}; "
+                  f"calibrated on {len(calib)} images).")
+        else:
+            from dfc_sa_unet_tpu.infer.engine import DFCEngine
+
+            engine = DFCEngine(config, variables, dtype=dtype or jnp.float32)
+            print("Using the folded+fused inference engine.")
+        apply_fn = lambda _, x: engine._forward(x)  # noqa: E731
+        if args.exe_cache:
+            # engine weights are baked constants in the compiled
+            # executable (apply_fn closes over them) — key the cache on
+            # their values so a different checkpoint never reuses them
+            from dfc_sa_unet_tpu.utils.exe_cache import tree_fingerprint
+
+            salt_tree = {"blocks": engine.blocks, "ups": engine.ups,
+                         "final": engine.final}
+            if args.int8:
+                salt_tree["scales"] = dict(engine.act_scales)
+            cache_salt = ("int8:" if args.int8 else "engine:") + tree_fingerprint(salt_tree)
+    predictor = Predictor(model, variables, compute_dtype=dtype, apply_fn=apply_fn,
+                          exe_cache_dir=args.exe_cache, cache_salt=cache_salt)
 
     all_metrics = []
     totals = {"tp": 0, "fp": 0, "fn": 0, "tn": 0}
@@ -293,6 +322,10 @@ if __name__ == "__main__":
                              "~6-15 min first TPU compile on warm starts)")
     parser.add_argument("--engine", action="store_true",
                         help="folded+fused inference engine (DFC-SA-Res-Block)")
+    parser.add_argument("--int8", action="store_true",
+                        help="int8 quantized serving engine (DFC-SA-Res-Block): "
+                             "1.1-1.4x on the large conv levels on v5e, end-metric "
+                             "|Dice delta| <= 1e-3 (calibrates on the first input images)")
     parser.add_argument("--batch_size", type=int, default=128,
                         help="tile batch; 128/256 are ~2x faster than 32-96 on TPU (XLA conv-layout cliff, PERF.md)")
     parser.add_argument("--serial", action="store_true",

@@ -1,0 +1,163 @@
+"""Int8 quantized serving engine: mechanics + end-metric Dice gate.
+
+The serving gate for int8 is END-METRIC (BASELINE.json north star:
+Dice/IoU delta <= 1e-3), not bitwise parity — these tests pin both the
+quantization mechanics and that gate on CPU.  The throughput side is
+measured on the real chip (scripts/bench_int8*.py, bench.py --int8).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dfc_sa_unet_tpu.infer.engine import DFCEngine
+from dfc_sa_unet_tpu.infer.quant import (
+    AUTO_INT8_LEVELS, Int8DFCEngine, quantize_act, quantize_weight,
+)
+from dfc_sa_unet_tpu.models.factory import ModelFactory
+
+CFG = {"model": {"name": "DFC-SA-Res-Block", "in_channels": 3, "out_channels": 1,
+                 "features": [8, 16, 24, 32], "pool_size": 4}}
+ALL_LEVELS = [f"down{i}" for i in range(1, 5)] + ["bottleneck"] + [
+    f"up_conv{i}" for i in range(4, 0, -1)
+]
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = ModelFactory.get_model(CFG)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 64, 64, 3)), jnp.float32
+    )
+    variables = model.init(jax.random.key(0), x, train=False)
+    return model, variables, x
+
+
+@pytest.fixture(scope="module")
+def fp_probs(setup):
+    _, variables, x = setup
+    fp = DFCEngine(CFG, variables, dtype=jnp.float32)
+    return np.asarray(jax.nn.sigmoid(fp._forward(x)))
+
+
+@pytest.fixture(scope="module")
+def q_auto(setup):
+    _, variables, x = setup
+    return Int8DFCEngine(CFG, variables, dtype=jnp.float32, calib_batches=[x])
+
+
+def test_quantize_weight_roundtrip_bound():
+    rng = np.random.default_rng(1)
+    k = jnp.asarray(rng.standard_normal((3, 3, 16, 8)) * 0.2, jnp.float32)
+    q, s = quantize_weight(k)
+    assert q.dtype == jnp.int8 and s.shape == (8,)
+    err = np.abs(np.asarray(q, np.float32) * np.asarray(s) - np.asarray(k))
+    # symmetric per-channel: error bounded by half a quantization step
+    assert err.max() <= float(np.asarray(s).max()) * 0.5 + 1e-7
+
+
+def test_quantize_act_clips_and_rounds():
+    x = jnp.asarray([[-300.0, -1.0, 0.0, 0.26, 300.0]], jnp.float32)
+    q = quantize_act(x, 0.5)
+    # symmetric clip: [-127, 127] so dequant error is sign-balanced
+    np.testing.assert_array_equal(np.asarray(q), [[-127, -2, 0, 1, 127]])
+
+
+def test_int8_engine_matches_fp_engine(setup, fp_probs, q_auto):
+    """Auto-level int8 engine stays within tight prob-space error of the
+    fp engine and produces identical binarized masks on this input."""
+    _, _, x = setup
+    assert q_auto.int8_levels == set(AUTO_INT8_LEVELS)
+    pq = np.asarray(jax.nn.sigmoid(q_auto._forward(x)))
+    assert np.abs(fp_probs - pq).max() < 5e-3
+    assert ((fp_probs > 0.5) == (pq > 0.5)).mean() > 0.999
+
+
+@pytest.mark.slow
+def test_int8_engine_all_levels_runs(setup, fp_probs):
+    """Every level quantized (incl. the small-Cin ones kept bf16 in auto
+    mode for speed) still tracks the fp engine closely."""
+    _, variables, x = setup
+    q = Int8DFCEngine(CFG, variables, dtype=jnp.float32, int8_levels=ALL_LEVELS,
+                      calib_batches=[x])
+    pq = np.asarray(jax.nn.sigmoid(q._forward(x)))
+    assert np.abs(fp_probs - pq).max() < 1e-2
+
+
+def test_act_scales_reusable_and_validated(setup, q_auto):
+    _, variables, x = setup
+    # captured scales rebuild an identical engine without calibration data
+    # (same scales + same quantized weights => same jitted computation;
+    # running the forward again would only re-pay the CPU compile)
+    q2 = Int8DFCEngine(CFG, variables, dtype=jnp.float32, act_scales=q_auto.act_scales)
+    assert q2.act_scales == q_auto.act_scales
+    for name in q_auto.qblocks:
+        for key, val in q_auto.qblocks[name].items():
+            if val is None:
+                assert q2.qblocks[name][key] is None
+                continue
+            np.testing.assert_array_equal(np.asarray(val[0]), np.asarray(q2.qblocks[name][key][0]))
+            np.testing.assert_array_equal(np.asarray(val[1]), np.asarray(q2.qblocks[name][key][1]))
+    with pytest.raises(ValueError, match="missing"):
+        Int8DFCEngine(CFG, variables, dtype=jnp.float32, act_scales={"down4.x": 0.1})
+    with pytest.raises(ValueError, match="act_scales or calib"):
+        Int8DFCEngine(CFG, variables, dtype=jnp.float32)
+
+
+@pytest.mark.slow
+def test_int8_dice_delta_gate_end_to_end(tmp_path):
+    """The north-star gate: train a small model to a real segmenter on
+    the synthetic set, then require |Dice(fp) - Dice(int8)| <= 1e-3 on
+    held-out synthetic validation (end metric, micro Dice)."""
+    from dfc_sa_unet_tpu.data.loader import DataLoaderFactory, normalize_on_device
+    from dfc_sa_unet_tpu.data.synthetic import generate
+    from dfc_sa_unet_tpu.metrics import confusion_counts, metrics_from_counts
+    from dfc_sa_unet_tpu.train.trainer import Trainer
+
+    root = generate(str(tmp_path / "d"), n=16, size=64, seed=3)
+    val_root = generate(str(tmp_path / "v"), n=8, size=64, seed=4)
+    cfg = {
+        "training": {"num_epochs": 30, "batch_size": 8, "learning_rate": 0.05,
+                     "momentum": 0.9, "weight_decay": 1e-4, "num_workers": 1,
+                     "save_checkpoint_freq": 1000, "device": "auto",
+                     "loss": {"type": "bce_dice",
+                              "params": {"bce_weight": 0.5, "dice_weight": 0.5}}},
+        "model": CFG["model"],
+        "dataset": {"train_dir": root, "val_dir": val_root, "img_size": [64, 64],
+                    "augmentation": False},
+        "logging": {"log_dir": str(tmp_path / "logs"),
+                    "images_dir": str(tmp_path / "images"),
+                    "save_best_worst_samples": 0},
+    }
+    model = ModelFactory.get_model(cfg)
+    factory = DataLoaderFactory(cfg, seed=0)
+    trainer = Trainer(model, factory.get_train_loader(), factory.get_val_loader(),
+                      cfg, mesh=None, seed=0)
+    batch = next(iter(factory.get_train_loader()))
+    state = trainer.init_state(batch)
+    for epoch in range(cfg["training"]["num_epochs"]):
+        state, _ = trainer.train_epoch(state, epoch)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    val = list(factory.get_val_loader())
+    imgs = np.concatenate([b["image"] for b in val])
+    masks = np.concatenate([b["mask"] for b in val])
+    xs = normalize_on_device(jnp.asarray(imgs), jnp.float32)
+
+    fp = DFCEngine(cfg, variables, dtype=jnp.float32)
+    q = Int8DFCEngine(cfg, variables, dtype=jnp.float32, calib_batches=[xs[:8]])
+
+    def micro_dice(engine):
+        probs = np.asarray(jax.nn.sigmoid(engine._forward(xs)))[..., 0]
+        pred = (probs > 0.5).astype(np.uint8)
+        gt = (masks > 127).astype(np.uint8)  # loader masks are [B, H, W] u8
+        c = confusion_counts(jnp.asarray(pred), jnp.asarray(gt))
+        return metrics_from_counts(**{k: int(v) for k, v in c.items()})["dice_f1"]
+
+    d_fp = micro_dice(fp)
+    d_q = micro_dice(q)
+    # the model must actually segment for the gate to be meaningful
+    assert d_fp > 0.5, f"fp model failed to train (dice {d_fp})"
+    assert abs(d_fp - d_q) <= 1e-3, (d_fp, d_q)

@@ -109,10 +109,24 @@ class Predictor:
     """
 
     def __init__(self, model, variables, compute_dtype=None, apply_fn=None,
-                 exe_cache_dir=None, cache_salt=""):
+                 exe_cache_dir=None, cache_salt="", mesh=None):
         self.model = model
         self.variables = variables
         self.compute_dtype = compute_dtype or jnp.float32
+        # Data-parallel serving (the reference's inference.py:104-153 is
+        # strictly single-device): with a jax.sharding.Mesh (axis 'data'),
+        # variables are replicated and every predict_probs batch is
+        # sharded over the batch dim — GSPMD inserts no collectives in
+        # eval mode (BN uses running stats), so sharded probabilities are
+        # exactly the single-device values and host-side stitching /
+        # metric accumulation is unchanged.
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._data_sharding = NamedSharding(mesh, PartitionSpec("data"))
+            self._replicated = NamedSharding(mesh, PartitionSpec())
+            self.variables = jax.device_put(self.variables, self._replicated)
         # Executable cache (utils/exe_cache): skips the 380-930 s first
         # tunnel compile on warm starts (measured 0.3 s reload).
         # ``cache_salt`` must cover any constants baked into apply_fn that
@@ -157,7 +171,16 @@ class Predictor:
         if 64 <= n < 128:
             pad = np.zeros((128 - n, *images_u8.shape[1:]), dtype=np.uint8)
             return self.predict_probs(np.concatenate([np.asarray(images_u8), pad]))[:n]
-        images_u8 = jnp.asarray(images_u8)
+        if self.mesh is not None:
+            n_dev = self.mesh.devices.size
+            if n % n_dev != 0:
+                # batch must divide the mesh: zero-pad and discard (eval-mode
+                # forward is per-sample independent, so padding is inert)
+                pad = np.zeros(((-n) % n_dev, *images_u8.shape[1:]), dtype=np.uint8)
+                return self.predict_probs(np.concatenate([np.asarray(images_u8), pad]))[:n]
+            images_u8 = jax.device_put(jnp.asarray(images_u8), self._data_sharding)
+        else:
+            images_u8 = jnp.asarray(images_u8)
         if self.exe_cache_dir is not None:
             key = images_u8.shape
             if key not in self._compiled:
@@ -166,9 +189,10 @@ class Predictor:
                 from dfc_sa_unet_tpu.utils.exe_cache import cached_compile
 
                 mh = hashlib.sha1(repr(self.model).encode()).hexdigest()[:12]
+                dp = f":dp{self.mesh.devices.size}" if self.mesh is not None else ""
                 self._compiled[key] = cached_compile(
                     self._forward_u8, self.exe_cache_dir,
-                    f"{type(self.model).__name__}:{mh}:{jnp.dtype(self.compute_dtype).name}",
+                    f"{type(self.model).__name__}:{mh}:{jnp.dtype(self.compute_dtype).name}{dp}",
                     self.variables, images_u8,
                     salt=self.cache_salt,
                 )

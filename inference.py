@@ -169,8 +169,20 @@ def main(args):
             if args.int8:
                 salt_tree["scales"] = dict(engine.act_scales)
             cache_salt = ("int8:" if args.int8 else "engine:") + tree_fingerprint(salt_tree)
+    mesh = None
+    if args.data_parallel:
+        devices = jax.devices()
+        if len(devices) > 1:
+            from dfc_sa_unet_tpu.parallel import data_parallel_mesh
+
+            mesh = data_parallel_mesh()
+            print(f"Data-parallel serving over {len(devices)} devices "
+                  f"(batches shard on 'data'; variables replicated).")
+        else:
+            print("(--data_parallel: only one device visible; running single-chip)")
     predictor = Predictor(model, variables, compute_dtype=dtype, apply_fn=apply_fn,
-                          exe_cache_dir=args.exe_cache, cache_salt=cache_salt)
+                          exe_cache_dir=args.exe_cache, cache_salt=cache_salt,
+                          mesh=mesh)
 
     all_metrics = []
     totals = {"tp": 0, "fp": 0, "fn": 0, "tn": 0}
@@ -330,4 +342,7 @@ if __name__ == "__main__":
                         help="tile batch; 128/256 are ~2x faster than 32-96 on TPU (XLA conv-layout cliff, PERF.md)")
     parser.add_argument("--serial", action="store_true",
                         help="disable decode/compute/save pipelining (A/B timing)")
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="shard prediction batches over all visible devices "
+                             "(1-D 'data' mesh; exact-match with single-chip)")
     main(parser.parse_args())

@@ -68,6 +68,58 @@ def test_sharded_train_step_matches_single_device(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
 
 
+def test_partial_eval_batch_sharded_exact_flagship(tmp_path):
+    """Flagship version of the fast mini-net check: a partial val batch
+    (6 of 8 devices) padded+masked on the mesh reproduces the unpadded
+    single-device eval metrics exactly."""
+    root = generate(str(tmp_path / "d"), n=8, size=32, seed=7)
+    cfg = _config(root, str(tmp_path / "logs"))
+    loader = DataLoaderFactory(cfg, seed=0).get_val_loader()
+    batch = next(iter(loader))
+    small = {k: (v[:6] if hasattr(v, "__getitem__") and not isinstance(v, str) else v)
+             for k, v in batch.items()}
+    model = ModelFactory.get_model(cfg)
+
+    t1 = Trainer(model, loader, loader, cfg, mesh=None, seed=0)
+    s1 = t1.init_state(batch)
+    _, m1 = t1._eval_step(s1, jnp.asarray(small["image"]), jnp.asarray(small["mask"]), None)
+
+    mesh = data_parallel_mesh()
+    t8 = Trainer(model, loader, loader, cfg, mesh=mesh, seed=0)
+    s8 = t8.init_state(batch)
+    imgs, masks, valid = t8._put_batch(small, pad_to_devices=True)
+    assert valid is not None and len(imgs.sharding.device_set) == 8
+    _, m8 = t8._eval_step(s8, imgs, masks, valid)
+    for key in ("loss", "iou", "dice"):
+        np.testing.assert_allclose(float(m1[key]), float(m8[key]), atol=1e-5, rtol=1e-5,
+                                   err_msg=key)
+    for key in ("per_sample_iou", "per_sample_dice"):
+        np.testing.assert_allclose(
+            np.asarray(m8[key])[:6], np.asarray(m1[key]), atol=1e-5, rtol=1e-4, err_msg=key)
+
+
+def test_data_parallel_predictor_flagship(tmp_path):
+    """Flagship sharded serving: Predictor(mesh) probabilities ==
+    single-device, for divisible and padded non-divisible batches."""
+    from dfc_sa_unet_tpu.infer.predictor import Predictor
+
+    cfg = _config(str(tmp_path), str(tmp_path / "logs"))
+    model = ModelFactory.get_model(cfg)
+    variables = model.init(
+        jax.random.key(2), jnp.zeros((1, 32, 32, 3), jnp.float32), train=False
+    )
+    imgs = np.random.default_rng(17).integers(
+        0, 256, size=(8, 32, 32, 3), dtype=np.uint8
+    )
+    p1 = Predictor(model, variables)
+    pm = Predictor(model, variables, mesh=data_parallel_mesh())
+    np.testing.assert_allclose(
+        pm.predict_probs(imgs), p1.predict_probs(imgs), atol=1e-6, rtol=1e-6)
+    got_odd = pm.predict_probs(imgs[:5])  # pads to 8, shards, discards
+    np.testing.assert_allclose(
+        got_odd, p1.predict_probs(imgs[:5]), atol=1e-6, rtol=1e-6)
+
+
 def test_shard_batch_places_shards():
     mesh = data_parallel_mesh()
     x = np.zeros((16, 4), np.float32)

@@ -95,8 +95,11 @@ def test_sharded_train_step_matches_single_device_fast(setup):
 def test_partial_eval_batch_stays_sharded_and_exact(setup):
     """A val batch of 6 on the 8-device mesh: _put_batch pads it to 8 and
     shards (previously it silently ran replicated), and the mask-aware
-    eval step reproduces the unpadded single-device metrics exactly."""
-    cfg, loader, batch, model = setup
+    eval step reproduces the unpadded single-device metrics exactly.
+    (Mini-net for compile speed; the flagship version runs in the slow
+    set, test_parallel.py.)"""
+    cfg, loader, batch, _ = setup
+    model = _MiniNet()
     small = {k: (v[:6] if hasattr(v, "__getitem__") and not isinstance(v, str) else v)
              for k, v in batch.items()}
     assert small["image"].shape[0] == 6
@@ -125,6 +128,31 @@ def test_partial_eval_batch_stays_sharded_and_exact(setup):
     for key in ("per_sample_iou", "per_sample_dice"):
         np.testing.assert_allclose(
             np.asarray(m8[key])[:6], np.asarray(m1[key]), atol=1e-5, rtol=1e-4, err_msg=key)
+
+
+def test_data_parallel_predictor_matches_single_device(setup):
+    """Predictor(mesh=...): sharded predict_probs must equal the
+    single-device probabilities bitwise-close, for a divisible batch
+    (8 over 8 devices) and a padded non-divisible one (6 -> pad 8)."""
+    from dfc_sa_unet_tpu.infer.predictor import Predictor
+
+    cfg, loader, batch, _ = setup
+    model = _MiniNet()
+    variables = model.init(
+        jax.random.key(1), jnp.zeros((1, 16, 16, 3), jnp.float32), train=False
+    )
+    p1 = Predictor(model, variables)
+    pm = Predictor(model, variables, mesh=data_parallel_mesh())
+
+    imgs = np.asarray(batch["image"])  # [8, 16, 16, 3] u8
+    want = p1.predict_probs(imgs)
+    got = pm.predict_probs(imgs)
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-6)
+
+    want_odd = p1.predict_probs(imgs[:6])
+    got_odd = pm.predict_probs(imgs[:6])  # pads to 8, shards, discards
+    assert got_odd.shape == (6, 16, 16)
+    np.testing.assert_allclose(got_odd, want_odd, atol=1e-6, rtol=1e-6)
 
 
 def test_partial_eval_all_loss_types_exact(setup):

@@ -200,7 +200,8 @@ class DFCEngine:
         d = self.blocks[name]
         kc, bc = d["conv"]
         if name in self.pallas_conv_levels and conv_supported(
-            x.shape[0], x.shape[1], x.shape[2], x.shape[-1], kc.shape[-1]
+            x.shape[0], x.shape[1], x.shape[2], x.shape[-1], kc.shape[-1],
+            itemsize=x.dtype.itemsize,
         ):
             a = jnp.maximum(
                 _conv(x, *d["attn0"], padding=0).astype(jnp.float32), 0.0

@@ -90,23 +90,27 @@ def _conv3x3_kernel(x_ref, w_ref, b_ref, o_ref):
     o_ref[:] = y.astype(o_ref.dtype).reshape(1, r, width, cout)
 
 
-def _pick_rows(h: int, w: int, cin: int, cout: int, budget: int = 6 * 2**20) -> int:
+def _pick_rows(h: int, w: int, cin: int, cout: int, budget: int = 6 * 2**20,
+               itemsize: int = 2) -> int:
     """Largest R dividing h whose full per-cell working set fits in
     ``budget`` bytes of the ~16 MB VMEM, leaving room for the pipeline's
     double buffering.  Counting only the input tile is a trap: at
     224/112-wide levels whole-image tiles fit the input but the f32
     accumulator + tap concat push the live set past VMEM and Mosaic
     spills to HBM (first A/B measured 0.6x XLA at down2 from exactly
-    this).  R*W must stay a multiple of 8 sublanes."""
+    this).  R*W must stay a multiple of 8 sublanes.  ``itemsize`` is the
+    element width of the activations (2 for bf16; 4 in f32 parity mode,
+    where the real live set doubles and the bf16 estimate would overflow
+    VMEM or trigger the HBM-spill slowdown)."""
     best = 0
     for r in range(1, h + 1):
         if h % r != 0 or (r * w) % 8 != 0:
             continue
         live = (
-            (r + 2) * w * cin * 2  # halo input tile (bf16)
-            + r * w * 3 * cin * 2  # dx-tap concat (bf16, one dy live at a time)
+            (r + 2) * w * cin * itemsize  # halo input tile
+            + r * w * 3 * cin * itemsize  # dx-tap concat (one dy live at a time)
             + r * w * cout * 4  # f32 accumulator
-            + r * w * cout * 2  # output tile
+            + r * w * cout * itemsize  # output tile
         )
         if live <= budget:
             best = r
@@ -119,7 +123,7 @@ def conv3x3_bn_relu(x, w, b, interpret=False):
     b: [Cout] f32 (bias + BN shift) -> ReLU'd [B, H, W, Cout]."""
     bsz, h, width, cin = x.shape
     cout = w.shape[-1]
-    r = _pick_rows(h, width, cin, cout)
+    r = _pick_rows(h, width, cin, cout, itemsize=x.dtype.itemsize)
     assert r, (x.shape, w.shape)
     # [3(dy), 3(dx), Cin, Cout] -> [3, 3*Cin, Cout] with dx-major channel packing
     wp = w.astype(x.dtype).reshape(3, 3 * cin, cout)
@@ -203,7 +207,7 @@ def dfc_tail_from_x(x, a, wc, bc, wg, bg, wf, bf, wr, interpret=False):
     """
     bsz, h, width, cin = x.shape
     c = a.shape[-1]
-    r = _pick_rows(h, width, cin, c)
+    r = _pick_rows(h, width, cin, c, itemsize=x.dtype.itemsize)
     assert r, (x.shape, a.shape)
     wcp = wc.astype(x.dtype).reshape(3, 3 * cin, c)
 
@@ -238,10 +242,12 @@ def dfc_tail_from_x(x, a, wc, bc, wg, bg, wf, bf, wr, interpret=False):
     )(xp, a, wcp, bc, wg, bg, wf, bf, wr)
 
 
-def conv_supported(b: int, h: int, w: int, cin: int, cout: int, max_channels: int = 512) -> bool:
+def conv_supported(b: int, h: int, w: int, cin: int, cout: int, max_channels: int = 512,
+                   itemsize: int = 2) -> bool:
     """Weights must stay VMEM-resident (wc 9*Cin*C + wg 2C^2 + wf 3C^2
     + wr Cin*C bf16 — C<=512 keeps this under ~6 MB) and rows must split
-    sublane-aligned."""
+    sublane-aligned.  Pass the activation ``itemsize`` (4 in f32 parity
+    mode) so the VMEM estimate matches the real working set."""
     if cout > max_channels or cin > 2 * max_channels:
         return False
-    return _pick_rows(h, w, cin, cout) > 0
+    return _pick_rows(h, w, cin, cout, itemsize=itemsize) > 0

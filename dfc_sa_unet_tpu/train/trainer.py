@@ -93,7 +93,12 @@ class Trainer:
         # remote compiler's memory cap train on this chip (PERF.md:
         # B=256 fails to compile even with remat; 2x128 accumulation
         # compiles like B=128).  BatchNorm stats update per microbatch
-        # (same semantics as consecutive smaller torch batches).
+        # (same semantics as consecutive smaller torch batches).  Note
+        # the loss semantics: batch-coupled losses (the dice/tversky
+        # sums) are computed over each microbatch and AVERAGED, which is
+        # not identical to one dice over the virtual batch — gradients
+        # differ slightly from a true monolithic B=N*M step (BCE terms
+        # are exact; the update count is unchanged).
         self.grad_accum = int(tr.get("grad_accum", 1))
         loss_cfg = tr.get("loss", {}) or {}
         self.loss_type = loss_cfg.get("type", "dice")

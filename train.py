@@ -53,10 +53,22 @@ def main():
     parser.add_argument("--grad_accum", type=int, default=None,
                         help="split each batch into N sequential microbatches inside the "
                              "jitted step (one averaged update) — trains batches beyond "
-                             "the compiler's memory cap (e.g. 256 = 2x128 on one v5e)")
+                             "the compiler's memory cap (e.g. 256 = 2x128 on one v5e). "
+                             "Note: batch-coupled losses (dice/tversky terms) are computed "
+                             "per microbatch and averaged, and BN stats thread through the "
+                             "microbatches — both slightly differ from a monolithic batch "
+                             "(the SGD update is still one step)")
     args = parser.parse_args()
 
     config = load_config(args.config)
+    # training.device ('auto'|'cuda'|'cpu', reference train.py:56-59):
+    # 'cpu' forces the CPU backend; 'auto' and accelerator names use the
+    # default platform (TPU here — JAX_PLATFORMS still overrides both,
+    # and dfc_sa_unet_tpu/__init__ re-honors that env var).
+    device_cfg = str(config.get("training", {}).get("device", "auto")).lower()
+    if device_cfg == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        print("training.device='cpu': forcing the CPU backend")
     if args.grad_accum:
         config["training"]["grad_accum"] = args.grad_accum
     if args.exe_cache:

@@ -41,9 +41,27 @@ from dfc_sa_unet_tpu.ops.pooling import max_pool
 from dfc_sa_unet_tpu.ops.convt import conv_transpose_2x2
 from dfc_sa_unet_tpu.ops.resize import resize_bilinear
 
-# probe winners (scripts/bench_int8.py + bench_int8_1x1.py, B=128 on v5e):
-# conv3x3 s8+deq vs bf16 — down4 1.12x, up4 1.38x, up3 1.41x, up2 1.35x,
-# up1 1.41x; down1 0.87x, down2 0.95x, down3 1.00x (left in bf16).
+# Probe winners (scripts/bench_int8.py + bench_int8_1x1.py, B=128 on v5e).
+# conv3x3 s8+deq vs bf16: down4 1.12x, bottleneck 1.18x, up4 1.38x,
+# up3 1.41x, up2 1.35x, up1 1.41x; down1 0.87x, down2 0.95x, down3 1.00x
+# (kept bf16).  The gate/fusion 1x1s win even on the down levels where
+# the 3x3 loses (down1.gate 1.30x, down1.fuse 1.10x, down2.gate 1.20x)
+# because their contraction dims are 2C/3C — so quantization is per-OP:
+# ``int8_ops`` maps level -> subset of {"conv", "attn0", "gate", "fuse",
+# "res"}.  AUTO = full winning levels + the winning 1x1s of down1-3.
+_ALL_OPS = frozenset({"conv", "attn0", "gate", "fuse", "res"})
+AUTO_INT8_OPS = {
+    "down1": frozenset({"gate", "fuse"}),
+    "down2": frozenset({"gate", "fuse"}),
+    "down3": frozenset({"gate", "fuse"}),
+    "down4": _ALL_OPS,
+    "bottleneck": _ALL_OPS,
+    "up_conv4": _ALL_OPS,
+    "up_conv3": _ALL_OPS,
+    "up_conv2": _ALL_OPS,
+    "up_conv1": _ALL_OPS,
+}
+# level-set spelling kept for A/B (full-level quantization only)
 AUTO_INT8_LEVELS = frozenset(
     {"down4", "bottleneck", "up_conv4", "up_conv3", "up_conv2", "up_conv1"}
 )
@@ -92,22 +110,33 @@ class Int8DFCEngine(DFCEngine):
         calib_batches: Optional[Iterable] = None,
     ):
         super().__init__(config, variables, dtype=dtype, pallas_conv_levels=None)
+        # ``int8_levels`` accepts: "auto" (the per-op probe winners), an
+        # iterable of level names (quantize every conv of those levels),
+        # or a {level: op-subset} mapping for arbitrary A/B slices.
         if int8_levels == "auto":
-            int8_levels = AUTO_INT8_LEVELS
-        self.int8_levels = set(int8_levels)
+            int8_ops = dict(AUTO_INT8_OPS)
+        elif isinstance(int8_levels, Mapping):
+            int8_ops = {n: frozenset(ops) for n, ops in int8_levels.items() if ops}
+        else:
+            int8_ops = {n: _ALL_OPS for n in int8_levels}
+        unknown = set(int8_ops) - set(self.blocks)
+        if unknown:
+            raise ValueError(f"unknown levels: {sorted(unknown)}")
+        self.int8_ops = int8_ops
+        self.int8_levels = set(int8_ops)
 
-        # per-block quantized weights from the BN-folded kernels
+        # per-block quantized weights from the BN-folded kernels (only
+        # the ops selected for this block)
+        key_of = {"conv": "conv", "attn0": "attn0", "gate": "kg", "fuse": "kf"}
         self.qblocks = {}
-        for name in self.int8_levels:
+        for name, ops in int8_ops.items():
             d = self.blocks[name]
             q = {}
-            for key, wk in (("conv", d["conv"][0]), ("attn0", d["attn0"][0]),
-                            ("kg", d["kg"][0]), ("kf", d["kf"][0])):
-                q[key] = quantize_weight(wk)
-            if d["kr"] is not None:  # res_scale already folded into kr
-                q["kr"] = quantize_weight(d["kr"])
-            else:
-                q["kr"] = None
+            for op, dkey in key_of.items():
+                if op in ops:
+                    q[dkey] = quantize_weight(d[dkey][0])
+            if "res" in ops and d["kr"] is not None:
+                q["kr"] = quantize_weight(d["kr"])  # res_scale pre-folded
             self.qblocks[name] = q
 
         if act_scales is None:
@@ -115,12 +144,24 @@ class Int8DFCEngine(DFCEngine):
                 raise ValueError("Int8DFCEngine needs act_scales or calib_batches")
             act_scales = self.collect_act_scales(calib_batches)
         self.act_scales = {k: float(v) for k, v in act_scales.items()}
-        missing = [f"{n}.{t}" for n in self.int8_levels for t in ("x", "c2", "c3")
+        missing = [f"{n}.{t}" for n, ops in int8_ops.items()
+                   for t in self._scales_needed(ops)
                    if f"{n}.{t}" not in self.act_scales]
         if missing:
             raise ValueError(f"act_scales missing entries: {missing}")
         # rebuild the jitted forward over the overridden _block
         self._forward = jax.jit(self._build_forward())
+
+    @staticmethod
+    def _scales_needed(ops):
+        need = []
+        if ops & {"conv", "attn0", "res"}:
+            need.append("x")
+        if "gate" in ops:
+            need.append("c2")
+        if "fuse" in ops:
+            need.append("c3")
+        return need
 
     # -------------------------------------------------------- calibration
 
@@ -197,45 +238,75 @@ class Int8DFCEngine(DFCEngine):
     # ---------------------------------------------------- quantized block
 
     def _block(self, name, x):
-        if name not in getattr(self, "qblocks", {}):
+        ops = getattr(self, "int8_ops", {}).get(name)
+        if not ops:
             return super()._block(name, x)
         d = self.blocks[name]
         q = self.qblocks[name]
-        sx = self.act_scales[f"{name}.x"]
-        sc2 = self.act_scales[f"{name}.c2"]
-        sc3 = self.act_scales[f"{name}.c3"]
 
-        x8 = quantize_act(x, sx)
-        # conv3x3 + BN(folded) + ReLU, s8 MXU with one f32 epilogue
-        k3, s3 = q["conv"]
-        local_f = jnp.maximum(
-            _conv_s8(x8, k3, 1).astype(jnp.float32) * (sx * s3) + d["conv"][1], 0.0
-        )
+        x8 = None
+        if ops & {"conv", "attn0", "res"}:
+            x8 = quantize_act(x, self.act_scales[f"{name}.x"])
+            sx = self.act_scales[f"{name}.x"]
+
+        # conv3x3 + BN(folded) + ReLU — s8 MXU with one f32 epilogue, or fp
+        if "conv" in ops:
+            k3, s3 = q["conv"]
+            local_f = jnp.maximum(
+                _conv_s8(x8, k3, 1).astype(jnp.float32) * (sx * s3) + d["conv"][1], 0.0
+            )
+        else:
+            y3 = jax.lax.conv_general_dilated(
+                x, d["conv"][0].astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            local_f = jnp.maximum(y3.astype(jnp.float32) + d["conv"][1], 0.0)
         local = local_f.astype(x.dtype)
+
         # attn branch: 1x1 conv (+BN folded) + ReLU then fp attention
-        ka, sa = q["attn0"]
-        a0 = jnp.maximum(
-            _conv_s8(x8, ka, 0).astype(jnp.float32) * (sx * sa) + d["attn0"][1], 0.0
-        ).astype(x.dtype)
+        if "attn0" in ops:
+            ka, sa = q["attn0"]
+            a0 = jnp.maximum(
+                _conv_s8(x8, ka, 0).astype(jnp.float32) * (sx * sa) + d["attn0"][1], 0.0
+            ).astype(x.dtype)
+        else:
+            a0 = jnp.maximum(
+                _conv(x, *d["attn0"], padding=0).astype(jnp.float32), 0.0
+            ).astype(x.dtype)
         a = self._lsa(d["lsa"], a0)
 
         combined = jnp.concatenate([local, a], axis=-1)
-        c2_8 = quantize_act(combined, sc2)
-        kg, sg = q["kg"]
-        g = jax.nn.sigmoid(
-            _conv_s8(c2_8, kg, 0).astype(jnp.float32) * (sc2 * sg) + d["kg"][1]
-        )
+        if "gate" in ops:
+            sc2 = self.act_scales[f"{name}.c2"]
+            kg, sg = q["kg"]
+            g = jax.nn.sigmoid(
+                _conv_s8(quantize_act(combined, sc2), kg, 0).astype(jnp.float32)
+                * (sc2 * sg) + d["kg"][1]
+            )
+        else:
+            g = jax.nn.sigmoid(_conv(combined, *d["kg"], padding=0).astype(jnp.float32))
         fused = (g * local_f + (1.0 - g) * a.astype(jnp.float32)).astype(x.dtype)
 
         cat3 = jnp.concatenate([fused, combined], axis=-1)
-        c3_8 = quantize_act(cat3, sc3)
-        kf, sf = q["kf"]
-        o = jnp.maximum(
-            _conv_s8(c3_8, kf, 0).astype(jnp.float32) * (sc3 * sf) + d["kf"][1], 0.0
-        )
-        if q["kr"] is not None:
+        if "fuse" in ops:
+            sc3 = self.act_scales[f"{name}.c3"]
+            kf, sf = q["kf"]
+            o = jnp.maximum(
+                _conv_s8(quantize_act(cat3, sc3), kf, 0).astype(jnp.float32)
+                * (sc3 * sf) + d["kf"][1], 0.0
+            )
+        else:
+            o = jnp.maximum(_conv(cat3, *d["kf"], padding=0).astype(jnp.float32), 0.0)
+
+        if d["kr"] is None:
+            o = o + d["res_scale"] * x.astype(jnp.float32)
+        elif "res" in ops:
             kr, sr = q["kr"]
             o = o + _conv_s8(x8, kr, 0).astype(jnp.float32) * (sx * sr)
         else:
-            o = o + d["res_scale"] * x.astype(jnp.float32)
+            res = jax.lax.conv_general_dilated(
+                x, d["kr"].astype(x.dtype), (1, 1), ((0, 0), (0, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            o = o + res.astype(jnp.float32)
         return o.astype(x.dtype)

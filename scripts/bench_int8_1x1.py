@@ -68,12 +68,19 @@ def conv3_s8_chain(x, w, scale, bias):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--k", type=int, default=8)
+    p.add_argument("--only", type=str, default=None,
+                   help="comma-separated shape names (e.g. down2.fuse,down3.gate); "
+                        "also skips the bottleneck 3x3 unless listed as bneck3x3")
     args = p.parse_args()
     rng = np.random.default_rng(0)
     print(f"device={jax.devices()[0]}", flush=True)
 
+    only = set(args.only.split(",")) if args.only else None
+
     # bottleneck conv3x3: 512->1024 at 14x14 (the one level bench_int8 skipped)
     for name, h, cin, cout in [("bneck3x3", 14, 512, 1024)]:
+        if only is not None and name not in only:
+            continue
         gflop = 2 * B * h * h * 9 * cin * cout / 1e9
         xf = jnp.asarray(rng.standard_normal((B, h, h, cin)), jnp.bfloat16)
         wf = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.05, jnp.bfloat16)
@@ -88,8 +95,10 @@ def main():
               f"{t_bf/t_s8:.2f}x", flush=True)
 
     for name, h, cin, cout in SHAPES:
+        if only is not None and name not in only:
+            continue
         gflop = 2 * B * h * h * cin * cout / 1e9
-        if gflop < 3:  # skip sub-ms shapes (down1/down2 attn etc.)
+        if only is None and gflop < 3:  # skip sub-ms shapes (down1/down2 attn etc.)
             continue
         xf = jnp.asarray(rng.standard_normal((B, h, h, cin)), jnp.bfloat16)
         wf = jnp.asarray(rng.standard_normal((1, 1, cin, cout)) * 0.05, jnp.bfloat16)

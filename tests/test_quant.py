@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from dfc_sa_unet_tpu.infer.engine import DFCEngine
 from dfc_sa_unet_tpu.infer.quant import (
-    AUTO_INT8_LEVELS, Int8DFCEngine, quantize_act, quantize_weight,
+    AUTO_INT8_OPS, Int8DFCEngine, quantize_act, quantize_weight,
 )
 from dfc_sa_unet_tpu.models.factory import ModelFactory
 
@@ -69,7 +69,7 @@ def test_int8_engine_matches_fp_engine(setup, fp_probs, q_auto):
     """Auto-level int8 engine stays within tight prob-space error of the
     fp engine and produces identical binarized masks on this input."""
     _, _, x = setup
-    assert q_auto.int8_levels == set(AUTO_INT8_LEVELS)
+    assert q_auto.int8_ops == dict(AUTO_INT8_OPS)
     pq = np.asarray(jax.nn.sigmoid(q_auto._forward(x)))
     assert np.abs(fp_probs - pq).max() < 5e-3
     assert ((fp_probs > 0.5) == (pq > 0.5)).mean() > 0.999

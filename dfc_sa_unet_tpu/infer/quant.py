@@ -139,6 +139,11 @@ class Int8DFCEngine(DFCEngine):
                 q["kr"] = quantize_weight(d["kr"])  # res_scale pre-folded
             self.qblocks[name] = q
 
+        if act_scales == "timing":
+            # fixed placeholder scales: identical compute graph and speed,
+            # garbage accuracy — for throughput benchmarking only (skips
+            # the calibration forward's extra tunnel compile)
+            act_scales = {f"{n}.{t}": 0.05 for n in int8_ops for t in ("x", "c2", "c3")}
         if act_scales is None:
             if calib_batches is None:
                 raise ValueError("Int8DFCEngine needs act_scales or calib_batches")

@@ -65,6 +65,20 @@ def main():
     for v in args.variants.split(","):
         if v == "module":
             fns[v] = lambda x: model.apply(variables, x, train=False)
+        elif v.startswith("int8"):
+            # int8 = auto per-op set; int8:down4+up_conv1 = full ops on a
+            # level subset; int8_3x3 = auto minus the down1-3 1x1 extras
+            from dfc_sa_unet_tpu.infer.quant import AUTO_INT8_LEVELS, Int8DFCEngine
+
+            if ":" in v:
+                levels = set(v.split(":", 1)[1].split("+"))
+            elif v == "int8_3x3":
+                levels = set(AUTO_INT8_LEVELS)
+            else:
+                levels = "auto"
+            eng = Int8DFCEngine(cfg, variables, dtype=jnp.bfloat16,
+                                int8_levels=levels, act_scales="timing")
+            fns[v] = (lambda e: (lambda x: e._build_forward()(x)))(eng)
         elif v.startswith("engine_conv"):
             # engine_conv = all supported levels; engine_conv:down2+up_conv1 = subset
             levels = "auto" if ":" not in v else set(v.split(":", 1)[1].split("+"))

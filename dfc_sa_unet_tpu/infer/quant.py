@@ -254,19 +254,24 @@ class Int8DFCEngine(DFCEngine):
             x8 = quantize_act(x, self.act_scales[f"{name}.x"])
             sx = self.act_scales[f"{name}.x"]
 
-        # conv3x3 + BN(folded) + ReLU — s8 MXU with one f32 epilogue, or fp
+        # conv3x3 + BN(folded) + ReLU — s8 MXU with one f32 epilogue, or fp.
+        # dtype discipline mirrors the base engine: the only full-res
+        # materialization is the compute-dtype `local`; f32 views are
+        # recomputed inside consuming fusions, never stored (a stored f32
+        # copy doubles HBM traffic at 224/112-px levels).
         if "conv" in ops:
             k3, s3 = q["conv"]
-            local_f = jnp.maximum(
+            local = jnp.maximum(
                 _conv_s8(x8, k3, 1).astype(jnp.float32) * (sx * s3) + d["conv"][1], 0.0
-            )
+            ).astype(x.dtype)
         else:
             y3 = jax.lax.conv_general_dilated(
                 x, d["conv"][0].astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
-            local_f = jnp.maximum(y3.astype(jnp.float32) + d["conv"][1], 0.0)
-        local = local_f.astype(x.dtype)
+            local = jnp.maximum(
+                y3.astype(jnp.float32) + d["conv"][1], 0.0
+            ).astype(x.dtype)
 
         # attn branch: 1x1 conv (+BN folded) + ReLU then fp attention
         if "attn0" in ops:
@@ -290,7 +295,9 @@ class Int8DFCEngine(DFCEngine):
             )
         else:
             g = jax.nn.sigmoid(_conv(combined, *d["kg"], padding=0).astype(jnp.float32))
-        fused = (g * local_f + (1.0 - g) * a.astype(jnp.float32)).astype(x.dtype)
+        fused = (
+            g * local.astype(jnp.float32) + (1.0 - g) * a.astype(jnp.float32)
+        ).astype(x.dtype)
 
         cat3 = jnp.concatenate([fused, combined], axis=-1)
         if "fuse" in ops:

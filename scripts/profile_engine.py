@@ -99,8 +99,15 @@ def main():
     print(f"device={jax.devices()[0]} batch={args.batch}")
 
     for v in args.variants.split(","):
-        eng = DFCEngine(cfg, variables, dtype=jnp.bfloat16,
-                        pallas_conv_levels="auto" if v == "engine_conv" else None)
+        if v.startswith("int8"):
+            from dfc_sa_unet_tpu.infer.quant import Int8DFCEngine
+
+            levels = "auto" if ":" not in v else set(v.split(":", 1)[1].split("+"))
+            eng = Int8DFCEngine(cfg, variables, dtype=jnp.bfloat16,
+                                int8_levels=levels, act_scales="timing")
+        else:
+            eng = DFCEngine(cfg, variables, dtype=jnp.bfloat16,
+                            pallas_conv_levels="auto" if v == "engine_conv" else None)
 
         @jax.jit
         def chained(x_u8, eng=eng):

@@ -91,8 +91,10 @@ def make_pallas(h, width, cin, cout, r):
             _kernel,
             out_shape=[
                 jax.ShapeDtypeStruct((bsz, h, width, cout), x.dtype),
-                jax.ShapeDtypeStruct((bsz, h // r, cout), jnp.float32),
-                jax.ShapeDtypeStruct((bsz, h // r, cout), jnp.float32),
+                # partial stats flattened to (grid, 1, C) so the block's
+                # last-two dims equal the array's (Mosaic tiling rule)
+                jax.ShapeDtypeStruct((bsz * (h // r), 1, cout), jnp.float32),
+                jax.ShapeDtypeStruct((bsz * (h // r), 1, cout), jnp.float32),
             ],
             grid=grid,
             in_specs=[
@@ -105,8 +107,8 @@ def make_pallas(h, width, cin, cout, r):
             ],
             out_specs=[
                 pl.BlockSpec((1, r, width, cout), lambda i, j: (i, j, 0, 0)),
-                pl.BlockSpec((1, 1, cout), lambda i, j: (i, j, 0)),
-                pl.BlockSpec((1, 1, cout), lambda i, j: (i, j, 0)),
+                pl.BlockSpec((1, 1, cout), lambda i, j, _g=h // r: (i * _g + j, 0, 0)),
+                pl.BlockSpec((1, 1, cout), lambda i, j, _g=h // r: (i * _g + j, 0, 0)),
             ],
             **kwargs,
         )(xp, wp, b)

@@ -48,10 +48,12 @@ def build_chained(
 
     if int8:
         from dfc_sa_unet_tpu.infer.quant import Int8DFCEngine
-        from dfc_sa_unet_tpu.data.loader import normalize_on_device as _norm
 
-        calib = _norm(x_u8[: min(batch, 32)], cdtype)
-        eng = Int8DFCEngine(cfg, variables, dtype=cdtype, calib_batches=[calib])
+        # act_scales="timing" keeps the exact serving graph (scales are
+        # same-shape baked constants) without the calibration forward's
+        # extra tunnel compile; the accuracy gate is pinned separately in
+        # tests/test_quant.py::test_int8_dice_delta_gate_end_to_end.
+        eng = Int8DFCEngine(cfg, variables, dtype=cdtype, act_scales="timing")
 
         def apply_fn(_, x):
             return eng._forward(x)
@@ -93,22 +95,43 @@ def main():
                    help="use the folded+fused inference engine (DFC-SA only)")
     p.add_argument("--int8", action="store_true",
                    help="use the int8 quantized serving engine (DFC-SA only)")
+    p.add_argument("--module", action="store_true",
+                   help="force the plain module path (no serving engine)")
     p.add_argument("--k", type=int, default=8, help="chained steps per timing call")
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--model", type=str, default="DFC-SA-Res-Block")
     args = p.parse_args()
 
     dtype = None if args.fp32 else jnp.bfloat16
+    # Default serving path: the int8-composed engine (up_conv4+up_conv3
+    # in s8) — the fastest gate-passing config measured on v5e (885 vs
+    # 870 img/s, PERF.md round 3).  Falls back to the plain module path
+    # if the quantized engine fails (non-flagship --model, etc.).
+    use_int8 = args.int8 or not (
+        args.module or args.engine or args.fp32 or args.pallas
+        or args.model != "DFC-SA-Res-Block"
+    )
     # batch 128 is the measured sweet spot on v5e (64/96/160/192 fall to
     # ~40% of its throughput — XLA picks a slower conv strategy; 256 ties)
     batches = [args.batch] if args.batch else [128]
     best_ips, best_batch = 0.0, 0
     for b in batches:
         try:
-            fn, variables, x = build_chained(
-                args.model, dtype, args.pallas, b, args.k, engine=args.engine,
-                int8=args.int8,
-            )
+            try:
+                fn, variables, x = build_chained(
+                    args.model, dtype, args.pallas, b, args.k, engine=args.engine,
+                    int8=use_int8,
+                )
+            except Exception as e:
+                if not use_int8 or args.int8:
+                    raise
+                print(f"# int8 engine unavailable ({type(e).__name__}: {e}); "
+                      "falling back to module path", file=sys.stderr)
+                use_int8 = False
+                fn, variables, x = build_chained(
+                    args.model, dtype, args.pallas, b, args.k, engine=args.engine,
+                    int8=False,
+                )
             float(fn(variables, x))  # compile + first run
             dt = min(
                 (lambda t0: (float(fn(variables, x)), time.perf_counter() - t0)[1])(time.perf_counter())
@@ -127,7 +150,7 @@ def main():
                   + (" (bf16)" if dtype else " (f32)")
                   + (" (pallas)" if args.pallas else "")
                   + (" (engine)" if args.engine else "")
-                  + (" (int8)" if args.int8 else ""),
+                  + (" (int8-composed engine)" if use_int8 else ""),
         "value": round(best_ips, 1),
         "unit": "images/sec",
         "vs_baseline": round(best_ips / BASELINE_IMG_PER_SEC, 4),

@@ -24,8 +24,12 @@ Scheme (standard post-training quantization):
     the two concats), each feeding 1-3 convs, so quantize passes
     amortize.
 
-Which levels quantize is probe-driven (``int8_levels="auto"`` = the
-measured winners); any subset can be selected for A/B.
+Which levels quantize is measured IN-MODEL, not from isolated probes
+(``int8_levels="auto"`` = up_conv4+up_conv3, the composed winner at
+885 vs 870 img/s; the model is bandwidth-bound in elementwise passes,
+so any slice with quantize boundaries at 112/224 px loses end-to-end —
+PERF.md round 3).  Any level subset or {level: op-set} mapping can be
+selected for A/B.
 
 Reference math anchor: /root/reference/models/unet_dfc_sa_res.py:41-116
 (the DFC block this engine serves).
@@ -41,16 +45,18 @@ from dfc_sa_unet_tpu.ops.pooling import max_pool
 from dfc_sa_unet_tpu.ops.convt import conv_transpose_2x2
 from dfc_sa_unet_tpu.ops.resize import resize_bilinear
 
-# Probe winners (scripts/bench_int8.py + bench_int8_1x1.py, B=128 on v5e).
-# conv3x3 s8+deq vs bf16: down4 1.12x, bottleneck 1.18x, up4 1.38x,
-# up3 1.41x, up2 1.35x, up1 1.41x; down1 0.87x, down2 0.95x, down3 1.00x
-# (kept bf16).  The gate/fusion 1x1s win even on the down levels where
-# the 3x3 loses (down1.gate 1.30x, down1.fuse 1.10x, down2.gate 1.20x)
-# because their contraction dims are 2C/3C — so quantization is per-OP:
-# ``int8_ops`` maps level -> subset of {"conv", "attn0", "gate", "fuse",
-# "res"}.  AUTO = full winning levels + the winning 1x1s of down1-3.
+# Isolated probe winners (scripts/bench_int8.py + bench_int8_1x1.py,
+# B=128 on v5e): conv3x3 s8+deq vs bf16: down4 1.12x, bottleneck 1.18x,
+# up4 1.38x, up3 1.41x, up2 1.35x, up1 1.41x; down1 0.87x, down2 0.95x,
+# down3 1.00x; the gate/fusion 1x1s win even on down1-3 (1.1-1.3x).
+# BUT the in-model A/B (PERF.md round 3) shows isolated ratios are the
+# wrong selection signal in this bandwidth-bound model: every slice that
+# puts quantize/dequant passes at 112/224 px measures SLOWER end-to-end.
+# The composed winner — s8 boundaries at 28/56 px only — is
+# up_conv4+up_conv3, +1.8% wall (885 vs 870 img/s), and is the AUTO
+# default.  The per-op probe table stays available for A/B.
 _ALL_OPS = frozenset({"conv", "attn0", "gate", "fuse", "res"})
-AUTO_INT8_OPS = {
+PROBE_INT8_OPS = {
     "down1": frozenset({"gate", "fuse"}),
     "down2": frozenset({"gate", "fuse"}),
     "down3": frozenset({"gate", "fuse"}),
@@ -61,7 +67,11 @@ AUTO_INT8_OPS = {
     "up_conv2": _ALL_OPS,
     "up_conv1": _ALL_OPS,
 }
-# level-set spelling kept for A/B (full-level quantization only)
+AUTO_INT8_OPS = {
+    "up_conv4": _ALL_OPS,
+    "up_conv3": _ALL_OPS,
+}
+# the isolated full-level winners, kept for A/B (bench_engine_ab int8_3x3)
 AUTO_INT8_LEVELS = frozenset(
     {"down4", "bottleneck", "up_conv4", "up_conv3", "up_conv2", "up_conv1"}
 )
@@ -92,7 +102,7 @@ def _conv_s8(x8, q, pad):
 
 
 class Int8DFCEngine(DFCEngine):
-    """DFCEngine with the probe-winning levels served in int8.
+    """DFCEngine with the in-model-winning levels served in int8.
 
     ``act_scales`` maps ``f"{level}.{x|c2|c3}"`` -> float; pass
     ``calib_batches`` (normalized NHWC arrays, the same contract as

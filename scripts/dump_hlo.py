@@ -57,7 +57,17 @@ def main():
         fn = jax.jit(eng._build_forward())
 
     print(f"device={jax.devices()[0]} batch={args.batch}", flush=True)
-    txt = fn.lower(x).compile().as_text()
+    compiled = fn.lower(x).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else None
+    if ca:
+        flops = ca.get("flops", 0.0)
+        byts = ca.get("bytes accessed", 0.0)
+        print(f"cost_analysis: flops={flops/1e12:.2f} TF  bytes={byts/1e9:.2f} GB  "
+              f"-> HBM floor {byts/819e9*1e3:.1f} ms, "
+              f"compute floor @110TF/s {flops/110e12*1e3:.1f} ms", flush=True)
+    txt = compiled.as_text()
     with open(args.out, "w") as f:
         f.write(txt)
     print(f"wrote {len(txt)} bytes to {args.out}", flush=True)

@@ -103,10 +103,11 @@ def main():
     args = p.parse_args()
 
     dtype = None if args.fp32 else jnp.bfloat16
-    # Default serving path: the int8-composed engine (up_conv4+up_conv3
-    # in s8) — the fastest gate-passing config measured on v5e (885 vs
-    # 870 img/s, PERF.md round 3).  Falls back to the plain module path
-    # if the quantized engine fails (non-flagship --model, etc.).
+    # Default serving path: the int8-composed engine (the <=56 px levels
+    # down4+bottleneck+up_conv4+up_conv3 in s8) — the fastest
+    # gate-passing config measured on v5e (890.6 vs 870.7 img/s, PERF.md
+    # round 3).  Falls back to the plain module path if the quantized
+    # engine fails (non-flagship --model, etc.).
     use_int8 = args.int8 or not (
         args.module or args.engine or args.fp32 or args.pallas
         or args.model != "DFC-SA-Res-Block"

@@ -25,11 +25,11 @@ Scheme (standard post-training quantization):
     amortize.
 
 Which levels quantize is measured IN-MODEL, not from isolated probes
-(``int8_levels="auto"`` = up_conv4+up_conv3, the composed winner at
-885 vs 870 img/s; the model is bandwidth-bound in elementwise passes,
-so any slice with quantize boundaries at 112/224 px loses end-to-end —
-PERF.md round 3).  Any level subset or {level: op-set} mapping can be
-selected for A/B.
+(``int8_levels="auto"`` = down4+bottleneck+up_conv4+up_conv3, the
+composed winner at 890.6 vs 870.7 img/s; the model is bandwidth-bound
+in elementwise passes, so any slice with quantize boundaries above
+56 px loses end-to-end — PERF.md round 3).  Any level subset or
+{level: op-set} mapping can be selected for A/B.
 
 Reference math anchor: /root/reference/models/unet_dfc_sa_res.py:41-116
 (the DFC block this engine serves).
@@ -52,9 +52,11 @@ from dfc_sa_unet_tpu.ops.resize import resize_bilinear
 # BUT the in-model A/B (PERF.md round 3) shows isolated ratios are the
 # wrong selection signal in this bandwidth-bound model: every slice that
 # puts quantize/dequant passes at 112/224 px measures SLOWER end-to-end.
-# The composed winner — s8 boundaries at 28/56 px only — is
-# up_conv4+up_conv3, +1.8% wall (885 vs 870 img/s), and is the AUTO
-# default.  The per-op probe table stays available for A/B.
+# The composed winner — s8 boundaries at <=56 px only — is
+# down4+bottleneck+up_conv4+up_conv3, +2.3% wall (890.6 vs 870.7 img/s;
+# up_conv4+up_conv3 alone = 885.4, adding up_conv2's 112 px boundary
+# drops to 852.6), and is the AUTO default.  The per-op probe table
+# stays available for A/B.
 _ALL_OPS = frozenset({"conv", "attn0", "gate", "fuse", "res"})
 PROBE_INT8_OPS = {
     "down1": frozenset({"gate", "fuse"}),
@@ -68,6 +70,8 @@ PROBE_INT8_OPS = {
     "up_conv1": _ALL_OPS,
 }
 AUTO_INT8_OPS = {
+    "down4": _ALL_OPS,
+    "bottleneck": _ALL_OPS,
     "up_conv4": _ALL_OPS,
     "up_conv3": _ALL_OPS,
 }

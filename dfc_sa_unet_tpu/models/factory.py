@@ -63,7 +63,10 @@ def create_model(config: Mapping[str, Any], dtype: Optional[Any] = None, use_pal
         vit_config = get_r50_b16_config()
         vit_config["n_classes"] = out_channels
         vit_config["patches_grid"] = (img_size // 16, img_size // 16)
-        return TransUNet(config=vit_config, img_size=img_size, num_classes=out_channels, dtype=dtype)
+        return TransUNet(
+            config=vit_config, img_size=img_size, num_classes=out_channels,
+            dtype=dtype, use_pallas=use_pallas,
+        )
 
     if name == "VisionTransformerSegmentation":
         from dfc_sa_unet_tpu.models.vit_seg import VisionTransformerForSegmentation
@@ -84,6 +87,7 @@ def create_model(config: Mapping[str, Any], dtype: Optional[Any] = None, use_pal
             dropout=m.get("dropout", 0.1),
             upsample_layers=m.get("segmentation_head_upsample_layers", default_layers),
             dtype=dtype,
+            use_pallas=use_pallas,
         )
 
     from dfc_sa_unet_tpu.models import ablations as ab

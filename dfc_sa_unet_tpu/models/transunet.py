@@ -149,6 +149,7 @@ class _Attention(nn.Module):
     num_heads: int
     attn_dropout: float = 0.0
     dtype: Optional[Dtype] = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -156,6 +157,20 @@ class _Attention(nn.Module):
         nh = self.num_heads
         hd = e // nh
         dtype = self.dtype or x.dtype
+
+        if self.use_pallas and not (train and self.attn_dropout > 0.0):
+            # VMEM-resident fused MHA: the [B,h,N,N] scores/softmax never
+            # reach HBM and the head split/merge transposes disappear
+            # (PERF.md round 3).  Attention-weights dropout is identity in
+            # eval mode; training with dropout uses the lax path below.
+            from dfc_sa_unet_tpu.ops.pallas_attention import fused_mha_sep
+
+            q = Dense(e, name="query", dtype=self.dtype)(x).astype(dtype)
+            k = Dense(e, name="key", dtype=self.dtype)(x).astype(dtype)
+            v = Dense(e, name="value", dtype=self.dtype)(x).astype(dtype)
+            out = fused_mha_sep(q, k, v, nh)
+            out = Dense(e, name="out", dtype=self.dtype)(out)
+            return nn.Dropout(self.attn_dropout)(out, deterministic=not train)
 
         def heads(t):
             return t.reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
@@ -201,12 +216,16 @@ class _VitBlock(nn.Module):
     dropout: float
     attn_dropout: float
     dtype: Optional[Dtype] = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         h = x
         y = LayerNorm(eps=1e-6, name="attention_norm")(x)
-        y = _Attention(self.num_heads, self.attn_dropout, name="attn", dtype=self.dtype)(y, train)
+        y = _Attention(
+            self.num_heads, self.attn_dropout, name="attn", dtype=self.dtype,
+            use_pallas=self.use_pallas,
+        )(y, train)
         x = y + h
         h = x
         y = LayerNorm(eps=1e-6, name="ffn_norm")(x)
@@ -217,6 +236,7 @@ class _VitBlock(nn.Module):
 class _Encoder(nn.Module):
     cfg: Dict[str, Any]
     dtype: Optional[Dtype] = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -224,6 +244,7 @@ class _Encoder(nn.Module):
             x = _VitBlock(
                 self.cfg["num_heads"], self.cfg["mlp_dim"], self.cfg["dropout_rate"],
                 self.cfg["attention_dropout_rate"], name=f"layer_{i}", dtype=self.dtype,
+                use_pallas=self.use_pallas,
             )(x, train)
         return LayerNorm(eps=1e-6, name="encoder_norm")(x)
 
@@ -260,11 +281,12 @@ class _Transformer(nn.Module):
     cfg: Dict[str, Any]
     img_size: int
     dtype: Optional[Dtype] = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         y, features = _Embeddings(self.cfg, self.img_size, name="embeddings", dtype=self.dtype)(x, train)
-        y = _Encoder(self.cfg, name="encoder", dtype=self.dtype)(y, train)
+        y = _Encoder(self.cfg, name="encoder", dtype=self.dtype, use_pallas=self.use_pallas)(y, train)
         return y, features
 
 
@@ -316,14 +338,16 @@ class TransUNet(nn.Module):
     img_size: int = 224
     num_classes: int = 9
     dtype: Optional[Dtype] = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if x.shape[-1] == 1:
             x = jnp.repeat(x, 3, axis=-1)
-        y, features = _Transformer(self.config, self.img_size, name="transformer", dtype=self.dtype)(
-            x, train
-        )
+        y, features = _Transformer(
+            self.config, self.img_size, name="transformer", dtype=self.dtype,
+            use_pallas=self.use_pallas,
+        )(x, train)
         y = _DecoderCup(self.config, name="decoder", dtype=self.dtype)(y, features, train)
         logits = Conv(
             self.config["n_classes"], 3, padding=1, name="segmentation_head_0", dtype=self.dtype

@@ -54,6 +54,7 @@ class TorchMultiheadAttention(nn.Module):
     num_heads: int
     dropout: float = 0.0
     dtype: Optional[Dtype] = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -77,6 +78,16 @@ class TorchMultiheadAttention(nn.Module):
             )
             + in_b
         )
+        if self.use_pallas and not (train and self.dropout > 0.0):
+            # fused VMEM-resident MHA: scores/softmax never reach HBM and
+            # the head split/merge transposes disappear (PERF.md round 3).
+            # Attention dropout is identity in eval mode, so the fused path
+            # is exact there; training with dropout falls through to lax.
+            from dfc_sa_unet_tpu.ops.pallas_attention import fused_mha
+
+            out = fused_mha(qkv.astype(dtype), nh)
+            return Dense(e, name="out_proj", dtype=self.dtype)(out)
+
         q, k, v = jnp.split(qkv.astype(dtype), 3, axis=-1)
 
         def heads(t):
@@ -105,11 +116,13 @@ class TorchEncoderLayer(nn.Module):
     mlp_dim: int
     dropout: float = 0.1
     dtype: Optional[Dtype] = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         sa = TorchMultiheadAttention(
-            self.num_heads, dropout=self.dropout, name="self_attn", dtype=self.dtype
+            self.num_heads, dropout=self.dropout, name="self_attn", dtype=self.dtype,
+            use_pallas=self.use_pallas,
         )(x, train)
         sa = nn.Dropout(self.dropout)(sa, deterministic=not train)
         x = LayerNorm(name="norm1")(x + sa)
@@ -127,12 +140,14 @@ class _TransformerEncoder(nn.Module):
     mlp_dim: int
     dropout: float
     dtype: Optional[Dtype] = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for i in range(self.num_layers):
             x = TorchEncoderLayer(
-                self.num_heads, self.mlp_dim, self.dropout, name=f"layers_{i}", dtype=self.dtype
+                self.num_heads, self.mlp_dim, self.dropout, name=f"layers_{i}",
+                dtype=self.dtype, use_pallas=self.use_pallas,
             )(x, train)
         return x
 
@@ -151,6 +166,7 @@ class VisionTransformerForSegmentation(nn.Module):
     dropout: float = 0.1
     upsample_layers: int = 4
     dtype: Optional[Dtype] = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -169,7 +185,7 @@ class VisionTransformerForSegmentation(nn.Module):
         y = nn.Dropout(self.dropout)(y, deterministic=not train)
         y = _TransformerEncoder(
             self.num_layers, self.num_heads, self.mlp_dim, self.dropout,
-            name="transformer_encoder", dtype=self.dtype,
+            name="transformer_encoder", dtype=self.dtype, use_pallas=self.use_pallas,
         )(y, train)
 
         y = y.reshape(b, feat, feat, self.embed_dim)

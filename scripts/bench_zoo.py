@@ -35,16 +35,21 @@ def main():
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--k", type=int, default=8)
     p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--use_pallas", action="store_true",
+                   help="fused Pallas MHA in the transformer families")
+    p.add_argument("--only", default=None, help="substring filter on family name")
     args = p.parse_args()
-    print(f"device={jax.devices()[0]} batch={args.batch} bf16")
+    print(f"device={jax.devices()[0]} batch={args.batch} bf16 use_pallas={args.use_pallas}")
 
     x_u8 = jnp.asarray(np.random.default_rng(0).integers(
         0, 256, (args.batch, SIZE, SIZE, 3), dtype=np.uint8))
 
     for name, extra in FAMILIES:
+        if args.only and args.only.lower() not in name.lower():
+            continue
         cfg = {"model": {"name": name, "in_channels": 3, "out_channels": 1, **extra}}
         try:
-            model = create_model(cfg, dtype=jnp.bfloat16)
+            model = create_model(cfg, dtype=jnp.bfloat16, use_pallas=args.use_pallas)
             variables = model.init(jax.random.key(0),
                                    jnp.zeros((1, SIZE, SIZE, 3), jnp.bfloat16), train=False)
 

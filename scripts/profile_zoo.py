@@ -48,10 +48,10 @@ def analyze(trace_dir: str, label: str, k: int):
         name = ev.get("name", "")
         if "while" in name.lower() or "scan" in name.lower():
             continue
-        by_name[name.split(".")[0]] += ev["dur"]
+        by_name[name] += ev["dur"]
         total += ev["dur"]
-    print(f"\n[{label}] device op time {total / 1e3 / k:.2f} ms/iter, top ops:")
-    for name, us in by_name.most_common(18):
+    print(f"\n[{label}] device op time {total / 1e3 / k:.2f} ms/iter, top individual ops:")
+    for name, us in by_name.most_common(30):
         print(f"  {name[:70]:<70} {us / 1e3 / k:8.2f} ms {100*us/total:5.1f}%", flush=True)
 
 
@@ -89,11 +89,16 @@ def main():
 
         lowered = chained.lower(x_u8, variables)
         compiled = lowered.compile()
+        with open(f"/tmp/hlo_{name}.txt", "w") as f:
+            f.write(compiled.as_text())
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0] if ca else None
         if ca:
-            fl, by = ca.get("flops", 0.0) / args.k, ca.get("bytes accessed", 0.0) / args.k
+            # cost_analysis counts the scan BODY once (verified against the
+            # unchained flagship: 8.65 TF = 67.5 GFLOP/img x 128), so these
+            # are already per-iteration numbers — do NOT divide by k.
+            fl, by = ca.get("flops", 0.0), ca.get("bytes accessed", 0.0)
             print(f"[{name}] cost/iter: {fl/1e12:.2f} TF, {by/1e9:.2f} GB -> floors "
                   f"compute {fl/110e12*1e3:.1f} ms, HBM {by/819e9*1e3:.1f} ms", flush=True)
         float(compiled(x_u8, variables))  # warm up

@@ -55,3 +55,71 @@ def test_fused_attention_is_differentiable():
     g_lax = jax.grad(loss_lax, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_fused, g_lax):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
+
+
+# ---- fused transformer MHA (ViT-seg packed qkv / TransUNet separate qkv) ----
+
+
+def test_fused_mha_packed_matches_reference():
+    from dfc_sa_unet_tpu.ops.pallas_attention import fused_mha, _mha_reference
+
+    rng = np.random.default_rng(2)
+    qkv = jnp.asarray(rng.standard_normal((2, 49, 3 * 96)), jnp.float32)
+    got = np.asarray(fused_mha(qkv, 6))
+    want = np.asarray(_mha_reference(qkv, 6))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_fused_mha_sep_matches_reference():
+    from dfc_sa_unet_tpu.ops.pallas_attention import fused_mha_sep, _mha_sep_reference
+
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((2, 49, 96)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, 49, 96)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 49, 96)), jnp.float32)
+    got = np.asarray(fused_mha_sep(q, k, v, 6))
+    want = np.asarray(_mha_sep_reference(q, k, v, 6))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_fused_mha_grads_match_reference():
+    import jax
+    from dfc_sa_unet_tpu.ops.pallas_attention import fused_mha, _mha_reference
+
+    rng = np.random.default_rng(4)
+    qkv = jnp.asarray(rng.standard_normal((1, 16, 3 * 32)), jnp.float32)
+    g_fused = jax.grad(lambda t: fused_mha(t, 4).sum())(qkv)
+    g_ref = jax.grad(lambda t: _mha_reference(t, 4).sum())(qkv)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref), atol=1e-5, rtol=1e-4)
+
+
+def test_vit_seg_use_pallas_matches_lax():
+    """VisionTransformerForSegmentation(use_pallas=True) == lax path in eval."""
+    import jax
+    from dfc_sa_unet_tpu.models.vit_seg import VisionTransformerForSegmentation
+
+    kw = dict(img_dim=32, patch_dim=16, in_channels=3, num_classes=1,
+              embed_dim=96, num_layers=2, num_heads=6, mlp_dim=128,
+              dropout=0.1, upsample_layers=4)
+    x = jnp.asarray(np.random.default_rng(6).standard_normal((2, 32, 32, 3)), jnp.float32)
+    m_lax = VisionTransformerForSegmentation(**kw)
+    variables = m_lax.init(jax.random.key(0), x, train=False)
+    m_pl = VisionTransformerForSegmentation(**kw, use_pallas=True)
+    y_lax = m_lax.apply(variables, x, train=False)
+    y_pl = m_pl.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_lax), atol=1e-4, rtol=1e-3)
+
+
+def test_transunet_attention_use_pallas_matches_lax():
+    """TransUNet _Attention(use_pallas=True) == lax path in eval (module-level
+    — the full R50 backbone is identical either way and slow on CPU)."""
+    import jax
+    from dfc_sa_unet_tpu.models.transunet import _Attention
+
+    x = jnp.asarray(np.random.default_rng(7).standard_normal((2, 49, 96)), jnp.float32)
+    m_lax = _Attention(num_heads=6, attn_dropout=0.1)
+    variables = m_lax.init(jax.random.key(0), x, train=False)
+    m_pl = _Attention(num_heads=6, attn_dropout=0.1, use_pallas=True)
+    y_lax = m_lax.apply(variables, x, train=False)
+    y_pl = m_pl.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_lax), atol=2e-5, rtol=1e-4)

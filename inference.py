@@ -91,7 +91,17 @@ def main(args):
         raise SystemExit("no weights: pass --model or set model.pretrained_path in the config")
 
     dtype = jnp.bfloat16 if args.bf16 else None
-    model = ModelFactory.get_model(config, dtype=dtype)
+    # bf16 serving default for the transformer families: the fused Pallas
+    # MHA is eval-exact and measured +31% (ViT-seg) / +15% (TransUNet) at
+    # B=128 (PERF.md round 3).  f32 keeps the lax path (bit-parity mode);
+    # --no_pallas opts out.
+    use_pallas = (
+        args.bf16
+        and not args.no_pallas
+        and config["model"].get("name")
+        in ("TransformerUNet", "TransUNet", "VisionTransformerSegmentation")
+    )
+    model = ModelFactory.get_model(config, dtype=dtype, use_pallas=use_pallas)
     variables = load_model_variables(model, model_path, img_size, config["model"].get("in_channels", 3))
     print(f"Model {config['model'].get('name')} ready on {jax.devices()[0]}")
     if args.tta:
@@ -329,6 +339,9 @@ if __name__ == "__main__":
     parser.add_argument("--no_slide_window", action="store_true")
     parser.add_argument("--tta", action="store_true")
     parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--no_pallas", action="store_true",
+                        help="disable the fused Pallas MHA that bf16 serving "
+                             "enables by default for the transformer families")
     parser.add_argument("--exe_cache", type=str, default=None,
                         help="directory for compiled-executable caching (skips the "
                              "~6-15 min first TPU compile on warm starts)")

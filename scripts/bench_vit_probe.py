@@ -117,6 +117,38 @@ def main():
     print(f"MHA qkv->out  lax {t_l*1e3:7.3f} ms | pallas fused {t_p*1e3:7.3f} ms "
           f"| lax/pallas {t_l/t_p:.2f}x", flush=True)
 
+    # int8 projection GEMMs: the realistic serving chain at each shape —
+    # quantize bf16 activations -> s8xs8 dot (s32 accum) -> per-channel
+    # dequant + bias in f32 -> bf16 out — vs the plain bf16 dot.  8192^2
+    # measured 1.44x (PERF.md round 3); does it survive at [25088, E] x
+    # [E, F] with the boundary passes included?
+    for name, e, f in SHAPES:
+        xb = jnp.asarray(rng.standard_normal((B, N, e)), jnp.bfloat16)
+        w8 = jnp.asarray(rng.integers(-127, 128, (e, f)), jnp.int8)
+        wscale = jnp.asarray(rng.uniform(1e-3, 2e-3, (f,)), jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((f,)), jnp.float32)
+        flops = 2 * B * N * e * f
+
+        def s8_chain(x, w8=w8, wscale=wscale, bias=bias):
+            x8 = jnp.clip(jnp.round(x.astype(jnp.float32) * 127.0), -127, 127
+                          ).astype(jnp.int8)
+            y = jax.lax.dot_general(
+                x8.reshape(-1, x.shape[-1]), w8, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            y = y.astype(jnp.float32) * (wscale / 127.0) + bias
+            return y.astype(jnp.float32).mean()
+
+        t8 = timeit_f(s8_chain, (xb,), args.k)
+        td = timeit_f(
+            lambda x, w=jnp.asarray(np.asarray(w8, np.float32) * 1e-3, jnp.bfloat16):
+            (jnp.einsum("bne,ef->bnf", x, w, preferred_element_type=jnp.float32)
+             + bias).astype(jnp.float32).mean(),
+            (xb,), args.k)
+        print(f"{name:9s} {e:4d}->{f:4d}: bf16+bias {td*1e3:7.3f} ms ({flops/td/1e12:5.1f} TF/s)"
+              f" | q+s8dot+deq {t8*1e3:7.3f} ms ({flops/t8/1e12:5.1f} TOP/s)"
+              f" | bf16/s8 {td/t8:.2f}x", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -46,6 +46,10 @@ def main():
              "blocks — most of the memory saving at a fraction of the recompute)",
     )
     parser.add_argument("--data_parallel", action="store_true", help="Shard batches over all devices")
+    parser.add_argument("--use_pallas", action="store_true",
+                        help="fused Pallas attention kernels (DFC pooled attention; "
+                             "transformer MHA — the MHA falls back to lax when "
+                             "attention dropout is active in training)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--exe_cache", type=str, default=None,
                         help="directory for compiled train-step caching (skips the "
@@ -92,7 +96,8 @@ def main():
     train_loader = factory.get_train_loader(drop_last=mesh is not None)
     val_loader = factory.get_val_loader()
 
-    model, pretrained = ModelFactory.get_model_and_variables(config, dtype=dtype, remat=args.remat)
+    model, pretrained = ModelFactory.get_model_and_variables(
+        config, dtype=dtype, remat=args.remat, use_pallas=args.use_pallas)
     if pretrained is not None:
         print(f"Warm-starting from pretrained weights: {config['model']['pretrained_path']}")
     trainer = Trainer(

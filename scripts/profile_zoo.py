@@ -61,6 +61,7 @@ def main():
                    default="VisionTransformerSegmentation,TransUNet")
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--k", type=int, default=4)
+    p.add_argument("--use_pallas", action="store_true")
     args = p.parse_args()
 
     from dfc_sa_unet_tpu.data.loader import normalize_on_device
@@ -74,7 +75,7 @@ def main():
     for name in args.models.split(","):
         cfg = {"model": {"name": name, "in_channels": 3, "out_channels": 1},
                "dataset": {"img_size": [SIZE, SIZE]}}
-        model = create_model(cfg, dtype=jnp.bfloat16)
+        model = create_model(cfg, dtype=jnp.bfloat16, use_pallas=args.use_pallas)
         variables = model.init(jax.random.key(0), jnp.zeros((1, SIZE, SIZE, 3), jnp.bfloat16),
                                train=False)
 

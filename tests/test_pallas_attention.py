@@ -123,3 +123,15 @@ def test_transunet_attention_use_pallas_matches_lax():
     y_lax = m_lax.apply(variables, x, train=False)
     y_pl = m_pl.apply(variables, x, train=False)
     np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_lax), atol=2e-5, rtol=1e-4)
+
+
+def test_fused_mha_bf16_close_to_f32_reference():
+    """bf16 serving mode: the fused kernel's f32-scores softmax keeps bf16
+    outputs within bf16 resolution of the f32 reference."""
+    from dfc_sa_unet_tpu.ops.pallas_attention import fused_mha, _mha_reference
+
+    rng = np.random.default_rng(8)
+    qkv_f32 = jnp.asarray(rng.standard_normal((2, 49, 3 * 96)), jnp.float32)
+    got = np.asarray(fused_mha(qkv_f32.astype(jnp.bfloat16), 6), np.float32)
+    want = np.asarray(_mha_reference(qkv_f32, 6))
+    np.testing.assert_allclose(got, want, atol=0.04, rtol=0.05)

@@ -30,10 +30,10 @@ def build_step(model, tx, loss_type, dtype, accum=1):
     def loss_fn(params, stats, x, t):
         out, mut = model.apply(
             {"params": params, "batch_stats": stats}, x, train=True,
-            mutable=["batch_stats"],
+            mutable=["batch_stats"], rngs={"dropout": jax.random.key(1)},
         )
         probs = jax.nn.sigmoid(out.astype(jnp.float32))
-        return compute_loss(probs, t, loss_type, {}), mut["batch_stats"]
+        return compute_loss(probs, t, loss_type, {}), mut.get("batch_stats", {})
 
     def step(params, batch_stats, opt_state, x, t):
         if accum > 1:
@@ -76,19 +76,30 @@ def main():
                         "(steps serialize through the param data dependency; use when the "
                         "nested scan+remat graph breaks the remote compile helper)")
     p.add_argument("--size", type=int, default=224)
+    p.add_argument("--model", type=str, default="DFC-SA-Res-Block",
+                   help="any factory name; transformer families accept --use_pallas")
+    p.add_argument("--use_pallas", action="store_true",
+                   help="fused Pallas attention in the train step (transformer MHA "
+                        "stays fused only when attention dropout is 0 — TransUNet's "
+                        "R50-ViT-B/16 config has attention_dropout_rate=0.0)")
     args = p.parse_args()
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     remat = False if args.remat == "none" else args.remat
 
-    cfg = {"model": {"name": "DFC-SA-Res-Block", "features": [64, 128, 256, 512],
-                     "pool_size": 8, "remat": remat}}
-    model = create_model(cfg, dtype=None if args.fp32 else jnp.bfloat16)
+    if args.model == "DFC-SA-Res-Block":
+        cfg = {"model": {"name": args.model, "features": [64, 128, 256, 512],
+                         "pool_size": 8, "remat": remat}}
+    else:
+        cfg = {"model": {"name": args.model, "in_channels": 3, "out_channels": 1},
+               "dataset": {"img_size": [args.size, args.size]}}
+    model = create_model(cfg, dtype=None if args.fp32 else jnp.bfloat16,
+                         use_pallas=args.use_pallas)
     tx = optim.sgd_with_clip(0.01, 0.9, 1e-4, clip_norm=1.0)
     step = build_step(model, tx, args.loss, dtype, accum=args.accum)
 
     s = args.size
     variables = model.init(jax.random.key(0), jnp.zeros((1, s, s, 3), dtype), train=False)
-    params, batch_stats = variables["params"], variables["batch_stats"]
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
     opt_state = tx.init(params)
     print(f"device={jax.devices()[0]} remat={args.remat} dtype={dtype.__name__} accum={args.accum}")
 

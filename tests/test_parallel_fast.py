@@ -173,3 +173,22 @@ def test_partial_eval_all_loss_types_exact(setup):
         want = float(compute_loss(probs, target, loss_type, params))
         got = float(compute_loss(probs_pad, target_pad, loss_type, params, sample_mask=valid))
         np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-6, err_msg=loss_type)
+
+
+def test_fused_mha_under_mesh_matches_single_device():
+    """The transformer families' fused Pallas MHA must partition cleanly
+    under the data mesh (pallas_call under GSPMD): sharded batch in,
+    sharded batch out, values equal to the single-device kernel.  Guards
+    the `--data_parallel --bf16` serving combination for ViT-seg/TransUNet."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dfc_sa_unet_tpu.ops.pallas_attention import fused_mha
+
+    rng = np.random.default_rng(11)
+    qkv = jnp.asarray(rng.standard_normal((8, 49, 3 * 48)), jnp.float32)
+    want = np.asarray(fused_mha(qkv, 6))
+
+    sh = NamedSharding(data_parallel_mesh(), P("data"))
+    got = jax.jit(lambda t: fused_mha(t, 6), in_shardings=(sh,))(jax.device_put(qkv, sh))
+    assert len(got.sharding.device_set) == 8, got.sharding
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-6, rtol=1e-6)

@@ -190,8 +190,15 @@ class Trainer:
             for k in ("exe_cache_dir", "num_workers", "save_checkpoint_freq",
                       "num_epochs", "device"):
                 tr.pop(k, None)
+            # The model side must be in the key too: pool_size / use_pallas /
+            # remat change the compiled math without changing the class name
+            # or any argument shape (attention Q/K params are pool-size
+            # independent).  repr(module) covers every dataclass field of
+            # the unbound flax module, including flags the YAML cannot see.
             hp = hashlib.sha1(
-                json.dumps(tr, sort_keys=True, default=str).encode()
+                (json.dumps(tr, sort_keys=True, default=str)
+                 + json.dumps(self.config.get("model", {}), sort_keys=True, default=str)
+                 + repr(self.model)).encode()
             ).hexdigest()[:12]
             self._train_step_cached = cached_compile(
                 self._train_step_jit, self.exe_cache_dir,

@@ -97,3 +97,37 @@ def test_train_step_exe_cache_dispatch(tmp_path):
     _, metrics = trainer._train_step(state, jnp.asarray(images), jnp.asarray(masks))
     assert np.isfinite(float(metrics["loss"]))
     assert list((tmp_path / "cache").glob("exe_*.bin"))
+
+
+def test_exe_cache_key_covers_model_config(tmp_path):
+    """pool_size (and use_pallas/remat) change the compiled math without
+    changing the model class name or any argument shape — the attention
+    Q/K params are pool-size independent.  Two trainers differing only in
+    pool_size sharing one cache dir must write two distinct entries, not
+    silently reuse the first executable."""
+    def build(pool_size):
+        cfg = {**CFG, "logging": {"log_dir": str(tmp_path / f"log{pool_size}"),
+                                  "images_dir": str(tmp_path / f"log{pool_size}"),
+                                  "save_best_worst_samples": 0}}
+        cfg["training"] = {**CFG["training"], "grad_accum": 1,
+                           "exe_cache_dir": str(tmp_path / "cache")}
+        cfg["model"] = {**CFG["model"], "pool_size": pool_size}
+        model = create_model(cfg)
+        return Trainer(model, None, None, cfg, seed=0)
+
+    rng = np.random.default_rng(2)
+    images = rng.integers(0, 256, (2, 48, 48, 3), dtype=np.uint8)
+    masks = rng.integers(0, 2, (2, 48, 48)).astype(np.uint8) * 255
+
+    t4 = build(4)
+    s4 = t4.init_state({"image": images})
+    t4._train_step(s4, jnp.asarray(images), jnp.asarray(masks))
+    entries = set((tmp_path / "cache").glob("exe_*.bin"))
+    assert len(entries) == 1
+
+    t8 = build(8)  # same param shapes, different pooled-attention math
+    s8 = t8.init_state({"image": images})
+    _, m8 = t8._train_step(s8, jnp.asarray(images), jnp.asarray(masks))
+    assert np.isfinite(float(m8["loss"]))
+    entries2 = set((tmp_path / "cache").glob("exe_*.bin"))
+    assert len(entries2) == 2 and entries < entries2

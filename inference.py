@@ -132,7 +132,9 @@ def main(args):
         return
 
     apply_fn = None
-    cache_salt = ""
+    # use_pallas changes the compiled math at identical shapes — keep the
+    # fused/lax executables apart when runs share an --exe_cache dir.
+    cache_salt = "pallas:" if use_pallas else ""
     is_dfc = config["model"]["name"] == "DFC-SA-Res-Block"
     if args.int8 and not is_dfc:
         print("(--int8 only supports DFC-SA-Res-Block; using standard path)")

@@ -66,6 +66,10 @@ def create_model(config: Mapping[str, Any], dtype: Optional[Any] = None, use_pal
         return TransUNet(
             config=vit_config, img_size=img_size, num_classes=out_channels,
             dtype=dtype, use_pallas=use_pallas,
+            # transformer families take remat as a bool: every encoder
+            # block / ResNet unit / decoder block rematerializes ('l12'
+            # has no meaning outside the DFC skeleton)
+            remat=bool(remat or m.get("remat", False)),
         )
 
     if name == "VisionTransformerSegmentation":
@@ -88,6 +92,7 @@ def create_model(config: Mapping[str, Any], dtype: Optional[Any] = None, use_pal
             upsample_layers=m.get("segmentation_head_upsample_layers", default_layers),
             dtype=dtype,
             use_pallas=use_pallas,
+            remat=bool(remat or m.get("remat", False)),
         )
 
     from dfc_sa_unet_tpu.models import ablations as ab

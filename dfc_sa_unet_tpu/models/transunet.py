@@ -93,14 +93,19 @@ class _ResBlock(nn.Module):
     cmid: int
     first_stride: int
     dtype: Optional[Dtype] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = PreActBottleneck(
+        def call_plain(mdl, h):
+            return mdl(h)
+
+        call = nn.remat(call_plain) if self.remat else call_plain
+        x = call(PreActBottleneck(
             self.cout, self.cmid, stride=self.first_stride, name="unit1", dtype=self.dtype
-        )(x)
+        ), x)
         for i in range(2, self.units + 1):
-            x = PreActBottleneck(self.cout, self.cmid, name=f"unit{i}", dtype=self.dtype)(x)
+            x = call(PreActBottleneck(self.cout, self.cmid, name=f"unit{i}", dtype=self.dtype), x)
         return x
 
 
@@ -111,16 +116,20 @@ class _Body(nn.Module):
     block_units: Sequence[int]
     width: int
     dtype: Optional[Dtype] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
         w = self.width
         feats = []
-        x = _ResBlock(self.block_units[0], w * 4, w, 1, name="block1", dtype=self.dtype)(x)
+        x = _ResBlock(self.block_units[0], w * 4, w, 1, name="block1", dtype=self.dtype,
+                      remat=self.remat)(x)
         feats.append(x)
-        x = _ResBlock(self.block_units[1], w * 8, w * 2, 2, name="block2", dtype=self.dtype)(x)
+        x = _ResBlock(self.block_units[1], w * 8, w * 2, 2, name="block2", dtype=self.dtype,
+                      remat=self.remat)(x)
         feats.append(x)
-        x = _ResBlock(self.block_units[2], w * 16, w * 4, 2, name="block3", dtype=self.dtype)(x)
+        x = _ResBlock(self.block_units[2], w * 16, w * 4, 2, name="block3", dtype=self.dtype,
+                      remat=self.remat)(x)
         return x, feats
 
 
@@ -131,6 +140,7 @@ class ResNetV2(nn.Module):
     block_units: Sequence[int] = (3, 4, 9)
     width_factor: int = 1
     dtype: Optional[Dtype] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -138,7 +148,8 @@ class ResNetV2(nn.Module):
         y = _Root(w, name="root", dtype=self.dtype)(x)
         root_out = y
         y = max_pool(y, 3, 2, padding=1)
-        y, (b1_out, b2_out) = _Body(self.block_units, w, name="body", dtype=self.dtype)(y)
+        y, (b1_out, b2_out) = _Body(self.block_units, w, name="body", dtype=self.dtype,
+                                    remat=self.remat)(y)
         return y, [b2_out, b1_out, root_out]
 
 
@@ -237,15 +248,20 @@ class _Encoder(nn.Module):
     cfg: Dict[str, Any]
     dtype: Optional[Dtype] = None
     use_pallas: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        def call_plain(mdl, h):
+            return mdl(h, train)
+
+        call = nn.remat(call_plain) if self.remat else call_plain
         for i in range(self.cfg["num_layers"]):
-            x = _VitBlock(
+            x = call(_VitBlock(
                 self.cfg["num_heads"], self.cfg["mlp_dim"], self.cfg["dropout_rate"],
                 self.cfg["attention_dropout_rate"], name=f"layer_{i}", dtype=self.dtype,
                 use_pallas=self.use_pallas,
-            )(x, train)
+            ), x)
         return LayerNorm(eps=1e-6, name="encoder_norm")(x)
 
 
@@ -253,6 +269,7 @@ class _Embeddings(nn.Module):
     cfg: Dict[str, Any]
     img_size: int
     dtype: Optional[Dtype] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -261,7 +278,7 @@ class _Embeddings(nn.Module):
         n_patches = (self.img_size // 16) * (self.img_size // 16)
         y, features = ResNetV2(
             self.cfg["resnet_num_layers"], self.cfg["resnet_width_factor"],
-            name="hybrid_model", dtype=self.dtype,
+            name="hybrid_model", dtype=self.dtype, remat=self.remat,
         )(x)
         y = Conv(
             self.cfg["hidden_size"], patch, stride=patch, name="patch_embeddings", dtype=self.dtype
@@ -282,11 +299,14 @@ class _Transformer(nn.Module):
     img_size: int
     dtype: Optional[Dtype] = None
     use_pallas: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y, features = _Embeddings(self.cfg, self.img_size, name="embeddings", dtype=self.dtype)(x, train)
-        y = _Encoder(self.cfg, name="encoder", dtype=self.dtype, use_pallas=self.use_pallas)(y, train)
+        y, features = _Embeddings(self.cfg, self.img_size, name="embeddings", dtype=self.dtype,
+                                  remat=self.remat)(x, train)
+        y = _Encoder(self.cfg, name="encoder", dtype=self.dtype, use_pallas=self.use_pallas,
+                     remat=self.remat)(y, train)
         return y, features
 
 
@@ -317,6 +337,7 @@ class _DecoderBlock(nn.Module):
 class _DecoderCup(nn.Module):
     cfg: Dict[str, Any]
     dtype: Optional[Dtype] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, hidden_states, features=None, train: bool = False):
@@ -325,9 +346,14 @@ class _DecoderCup(nn.Module):
         x = hidden_states.reshape(b, h, w, hidden)
         x = _conv2d_relu("conv_more", 512, 3, 1, self.dtype)(x, train)
         n_skip = self.cfg["n_skip"]
+
+        def call_plain(mdl, a, s):
+            return mdl(a, s, train)
+
+        call = nn.remat(call_plain) if self.remat else call_plain
         for i, out_ch in enumerate(self.cfg["decoder_channels"]):
             skip = features[i] if (features is not None and i < n_skip) else None
-            x = _DecoderBlock(out_ch, name=f"blocks_{i}", dtype=self.dtype)(x, skip, train)
+            x = call(_DecoderBlock(out_ch, name=f"blocks_{i}", dtype=self.dtype), x, skip)
         return x
 
 
@@ -339,6 +365,7 @@ class TransUNet(nn.Module):
     num_classes: int = 9
     dtype: Optional[Dtype] = None
     use_pallas: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -346,9 +373,10 @@ class TransUNet(nn.Module):
             x = jnp.repeat(x, 3, axis=-1)
         y, features = _Transformer(
             self.config, self.img_size, name="transformer", dtype=self.dtype,
-            use_pallas=self.use_pallas,
+            use_pallas=self.use_pallas, remat=self.remat,
         )(x, train)
-        y = _DecoderCup(self.config, name="decoder", dtype=self.dtype)(y, features, train)
+        y = _DecoderCup(self.config, name="decoder", dtype=self.dtype,
+                        remat=self.remat)(y, features, train)
         logits = Conv(
             self.config["n_classes"], 3, padding=1, name="segmentation_head_0", dtype=self.dtype
         )(y)

@@ -141,14 +141,19 @@ class _TransformerEncoder(nn.Module):
     dropout: float
     dtype: Optional[Dtype] = None
     use_pallas: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        def call_plain(mdl, h):
+            return mdl(h, train)
+
+        call = nn.remat(call_plain) if self.remat else call_plain
         for i in range(self.num_layers):
-            x = TorchEncoderLayer(
+            x = call(TorchEncoderLayer(
                 self.num_heads, self.mlp_dim, self.dropout, name=f"layers_{i}",
                 dtype=self.dtype, use_pallas=self.use_pallas,
-            )(x, train)
+            ), x)
         return x
 
 
@@ -167,6 +172,7 @@ class VisionTransformerForSegmentation(nn.Module):
     upsample_layers: int = 4
     dtype: Optional[Dtype] = None
     use_pallas: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -186,6 +192,7 @@ class VisionTransformerForSegmentation(nn.Module):
         y = _TransformerEncoder(
             self.num_layers, self.num_heads, self.mlp_dim, self.dropout,
             name="transformer_encoder", dtype=self.dtype, use_pallas=self.use_pallas,
+            remat=self.remat,
         )(y, train)
 
         y = y.reshape(b, feat, feat, self.embed_dim)

@@ -93,7 +93,7 @@ def main():
         cfg = {"model": {"name": args.model, "in_channels": 3, "out_channels": 1},
                "dataset": {"img_size": [args.size, args.size]}}
     model = create_model(cfg, dtype=None if args.fp32 else jnp.bfloat16,
-                         use_pallas=args.use_pallas)
+                         use_pallas=args.use_pallas, remat=remat)
     tx = optim.sgd_with_clip(0.01, 0.9, 1e-4, clip_norm=1.0)
     step = build_step(model, tx, args.loss, dtype, accum=args.accum)
 

@@ -43,7 +43,9 @@ def main():
         "--remat", nargs="?", const="all", default=None, choices=["all", "l12"],
         help="rematerialize blocks in the backward pass for larger batches: "
              "'all' (every block) or 'l12' (only the four largest-activation "
-             "blocks — most of the memory saving at a fraction of the recompute)",
+             "blocks — most of the memory saving at a fraction of the recompute). "
+             "Transformer families treat any mode as 'all' (every encoder "
+             "block / ResNet unit / decoder block)",
     )
     parser.add_argument("--data_parallel", action="store_true", help="Shard batches over all devices")
     parser.add_argument("--use_pallas", action="store_true",

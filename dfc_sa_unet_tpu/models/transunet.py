@@ -100,7 +100,9 @@ class _ResBlock(nn.Module):
         def call_plain(mdl, h):
             return mdl(h)
 
-        call = nn.remat(call_plain) if self.remat else call_plain
+        # prevent_cse=False: the CSE-prevention markers are only needed
+        # under lax.scan; here they inflate HBM (see _Encoder's note).
+        call = nn.remat(call_plain, prevent_cse=False) if self.remat else call_plain
         x = call(PreActBottleneck(
             self.cout, self.cmid, stride=self.first_stride, name="unit1", dtype=self.dtype
         ), x)
@@ -255,7 +257,12 @@ class _Encoder(nn.Module):
         def call_plain(mdl, h):
             return mdl(h, train)
 
-        call = nn.remat(call_plain) if self.remat else call_plain
+        # prevent_cse=False: with the flax default (True), the backward's
+        # recomputed dropout-mask RNG cannot CSE with the forward's, and
+        # every recomputed u32 uniform stays live — measured +8 GB HBM at
+        # ViT-B B=128 (24.2G vs 16.2G, i.e. remat made memory WORSE).
+        # Outside lax.scan the marker is unnecessary (jax.checkpoint docs).
+        call = nn.remat(call_plain, prevent_cse=False) if self.remat else call_plain
         for i in range(self.cfg["num_layers"]):
             x = call(_VitBlock(
                 self.cfg["num_heads"], self.cfg["mlp_dim"], self.cfg["dropout_rate"],
@@ -350,7 +357,9 @@ class _DecoderCup(nn.Module):
         def call_plain(mdl, a, s):
             return mdl(a, s, train)
 
-        call = nn.remat(call_plain) if self.remat else call_plain
+        # prevent_cse=False: the CSE-prevention markers are only needed
+        # under lax.scan; here they inflate HBM (see _Encoder's note).
+        call = nn.remat(call_plain, prevent_cse=False) if self.remat else call_plain
         for i, out_ch in enumerate(self.cfg["decoder_channels"]):
             skip = features[i] if (features is not None and i < n_skip) else None
             x = call(_DecoderBlock(out_ch, name=f"blocks_{i}", dtype=self.dtype), x, skip)

@@ -25,6 +25,9 @@ def create_model(config: Mapping[str, Any], dtype: Optional[Any] = None, use_pal
     """Instantiate the Flax module named by ``config['model']['name']``."""
     m = _model_cfg(config)
     name = m["name"]
+    # model.use_pallas in the YAML works like model.remat: config-driven
+    # workflows get the fused kernels without the CLI flag.
+    use_pallas = bool(use_pallas or m.get("use_pallas", False))
     in_channels = m.get("in_channels", 3)
     out_channels = m.get("out_channels", 1)
     features = tuple(m.get("features", [64, 128, 256, 512]))

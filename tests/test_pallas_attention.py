@@ -135,3 +135,55 @@ def test_fused_mha_bf16_close_to_f32_reference():
     got = np.asarray(fused_mha(qkv_f32.astype(jnp.bfloat16), 6), np.float32)
     want = np.asarray(_mha_reference(qkv_f32, 6))
     np.testing.assert_allclose(got, want, atol=0.04, rtol=0.05)
+
+
+@pytest.mark.slow
+def test_transunet_fused_mha_training_dynamics_match_lax():
+    """`train.py --use_pallas` trains TransUNet through the fused kernel
+    (its attention dropout is 0.0): several SGD steps from identical init
+    and batches must track the lax path — the custom VJP backward IS the
+    lax math, so any drift is forward-value float noise only."""
+    import jax
+
+    from dfc_sa_unet_tpu.losses import compute_loss
+    from dfc_sa_unet_tpu.models.factory import create_model
+    from dfc_sa_unet_tpu.train import optim
+
+    cfg = {"model": {"name": "TransUNet", "in_channels": 3, "out_channels": 1},
+           "dataset": {"img_size": [64, 64]}}
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    t = jnp.asarray((rng.random((2, 64, 64, 1)) > 0.5).astype(np.float32))
+
+    def train(use_pallas, steps=3):
+        model = create_model(cfg, use_pallas=use_pallas)
+        variables = model.init(jax.random.key(0), x[:1], train=False)
+        params, stats = variables["params"], variables["batch_stats"]
+        tx = optim.sgd_with_clip(0.05, 0.9, 1e-4, clip_norm=1.0)
+        opt = tx.init(params)
+
+        @jax.jit
+        def step(params, stats, opt):
+            def loss_fn(p, s):
+                out, mut = model.apply(
+                    {"params": p, "batch_stats": s}, x, train=True,
+                    mutable=["batch_stats"], rngs={"dropout": jax.random.key(3)},
+                )
+                probs = jax.nn.sigmoid(out.astype(jnp.float32))
+                return compute_loss(probs, t, "bce_dice", {}), mut["batch_stats"]
+
+            (loss, stats2), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, stats)
+            updates, opt2 = tx.update(grads, opt, params)
+            return jax.tree.map(lambda a, u: a + u, params, updates), stats2, opt2, loss
+
+        losses = []
+        for _ in range(steps):
+            params, stats, opt, loss = step(params, stats, opt)
+            losses.append(float(loss))
+        return params, losses
+
+    p_lax, l_lax = train(False)
+    p_pl, l_pl = train(True)
+    np.testing.assert_allclose(l_pl, l_lax, atol=1e-5, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p_lax), jax.tree.leaves(p_pl)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-3)

@@ -118,22 +118,25 @@ def main():
     best_ips, best_batch = 0.0, 0
     for b in batches:
         try:
-            try:
-                fn, variables, x = build_chained(
-                    args.model, dtype, args.pallas, b, args.k, engine=args.engine,
-                    int8=use_int8,
-                )
-            except Exception as e:
-                if not use_int8 or args.int8:
-                    raise
-                print(f"# int8 engine unavailable ({type(e).__name__}: {e}); "
-                      "falling back to module path", file=sys.stderr)
-                use_int8 = False
-                fn, variables, x = build_chained(
-                    args.model, dtype, args.pallas, b, args.k, engine=args.engine,
-                    int8=False,
-                )
-            float(fn(variables, x))  # compile + first run
+            dt = None
+            while True:  # at most two passes: int8-composed, then module fallback
+                try:
+                    fn, variables, x = build_chained(
+                        args.model, dtype, args.pallas, b, args.k, engine=args.engine,
+                        int8=use_int8,
+                    )
+                    float(fn(variables, x))  # compile + first run
+                except Exception as e:
+                    # the default int8 path must never zero the headline —
+                    # fall back to the plain module path on ANY failure
+                    # (build, compile, or first run), unless int8 was forced
+                    if not use_int8 or args.int8:
+                        raise
+                    print(f"# int8 engine failed ({type(e).__name__}: {e}); "
+                          "falling back to module path", file=sys.stderr)
+                    use_int8 = False
+                    continue
+                break
             dt = min(
                 (lambda t0: (float(fn(variables, x)), time.perf_counter() - t0)[1])(time.perf_counter())
                 for _ in range(args.repeats)

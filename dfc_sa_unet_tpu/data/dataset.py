@@ -12,6 +12,14 @@ Re-specified from its call contract:
 
 Images load as RGB, masks as grayscale ('L').  Mask files may use a
 different extension than their image (matched by basename).
+
+``cache=True`` decodes and resizes each pair once (lazily, thread-safe by
+idempotence) and keeps the post-resize uint8 arrays in RAM (~200 KB per
+224x224 sample); later epochs replay them through the same transform
+pipeline, so random augmentation still varies per epoch while the PNG
+decode + downscale — the dominant host cost on a 1-core host — is paid
+once.  Parity-exact: the deterministic PairedResize precedes every random
+transform, and resizing an already-resized image is the identity.
 """
 
 import os
@@ -31,10 +39,13 @@ class SegmentationDataset:
         root: str,
         transform: Optional[Callable] = None,
         img_size: Tuple[int, int] = (224, 224),
+        cache: bool = False,
     ):
         self.root = root.replace("\\", "/")
         self.transform = transform
         self.img_size = tuple(img_size)
+        self.cache = cache
+        self._cached = {} if cache else None
         img_dir = os.path.join(self.root, "original")
         mask_dir = os.path.join(self.root, "mask")
         if not os.path.isdir(img_dir) or not os.path.isdir(mask_dir):
@@ -57,10 +68,23 @@ class SegmentationDataset:
     def __len__(self):
         return len(self.samples)
 
+    def _load_pair(self, idx):
+        img_path, mask_path, _ = self.samples[idx]
+        if self._cached is None:
+            return Image.open(img_path).convert("RGB"), Image.open(mask_path).convert("L")
+        hit = self._cached.get(idx)
+        if hit is None:
+            # PIL .size is (W, H); PairedResize passes img_size straight
+            # through like the reference, so cache at that orientation
+            img = Image.open(img_path).convert("RGB").resize(self.img_size, Image.BILINEAR)
+            mask = Image.open(mask_path).convert("L").resize(self.img_size, Image.NEAREST)
+            hit = (np.asarray(img, np.uint8), np.asarray(mask, np.uint8))
+            self._cached[idx] = hit  # GIL-atomic; duplicate fills are idempotent
+        return Image.fromarray(hit[0], "RGB"), Image.fromarray(hit[1], "L")
+
     def __getitem__(self, idx, rng: Optional[np.random.Generator] = None):
-        img_path, mask_path, filename = self.samples[idx]
-        img = Image.open(img_path).convert("RGB")
-        mask = Image.open(mask_path).convert("L")
+        _, _, filename = self.samples[idx]
+        img, mask = self._load_pair(idx)
         if self.transform is not None:
             img, mask = self.transform(img, mask, rng=rng)
         return {"image": img, "mask": mask, "filename": filename}

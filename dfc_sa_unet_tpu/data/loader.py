@@ -148,11 +148,17 @@ class DataLoaderFactory:
         self.num_workers = tr.get("num_workers", 2)
         self.img_size = tuple(ds.get("img_size", [224, 224]))
         self.use_augmentation = ds.get("augmentation", True)
+        # decode+resize once into RAM (~200 KB/sample at 224) — makes the
+        # 1-core host pipeline outrun every measured training step rate
+        # (PERF.md round 3: host input pipeline); off by default to match
+        # the reference's per-epoch re-decode for arbitrarily large sets
+        self.cache = ds.get("cache", False)
         self.seed = seed
 
     def get_train_loader(self, drop_last: bool = False) -> BatchLoader:
         transform = build_transforms(self.img_size, augment=self.use_augmentation)
-        dataset = SegmentationDataset(self.train_dir, transform, self.img_size)
+        dataset = SegmentationDataset(self.train_dir, transform, self.img_size,
+                                      cache=self.cache)
         return BatchLoader(
             dataset, self.batch_size, shuffle=True, num_workers=self.num_workers,
             drop_last=drop_last, seed=self.seed,
@@ -160,7 +166,8 @@ class DataLoaderFactory:
 
     def get_val_loader(self) -> BatchLoader:
         transform = build_transforms(self.img_size, augment=False)
-        dataset = SegmentationDataset(self.val_dir, transform, self.img_size)
+        dataset = SegmentationDataset(self.val_dir, transform, self.img_size,
+                                      cache=self.cache)
         return BatchLoader(
             dataset, self.batch_size, shuffle=False, num_workers=self.num_workers,
             drop_last=False, seed=self.seed,

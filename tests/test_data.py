@@ -71,6 +71,37 @@ def test_loader_drop_last(data_root):
     assert shapes == [(4, 32, 32, 3), (4, 32, 32, 3)]
 
 
+def test_cached_dataset_is_bit_identical(data_root):
+    """cache=True must replay the exact same samples (decode+resize cached,
+    random augmentation still applied per call from the given rng)."""
+    tf = build_transforms((48, 48), augment=True)
+    plain = SegmentationDataset(data_root, tf, (48, 48))
+    cached = SegmentationDataset(data_root, tf, (48, 48), cache=True)
+    for idx in range(len(plain)):
+        a = plain.__getitem__(idx, rng=np.random.default_rng(idx))
+        b = cached.__getitem__(idx, rng=np.random.default_rng(idx))
+        np.testing.assert_array_equal(a["image"], b["image"])
+        np.testing.assert_array_equal(a["mask"], b["mask"])
+        assert a["filename"] == b["filename"]
+    # second pass hits the cache and must still match (incl. fresh augment)
+    a2 = plain.__getitem__(0, rng=np.random.default_rng(99))
+    b2 = cached.__getitem__(0, rng=np.random.default_rng(99))
+    np.testing.assert_array_equal(a2["image"], b2["image"])
+
+
+def test_cached_loader_matches_uncached(data_root):
+    cfgish = build_transforms((32, 32), augment=True)
+    mk = lambda cache: BatchLoader(
+        SegmentationDataset(data_root, cfgish, (32, 32), cache=cache),
+        batch_size=4, shuffle=True, num_workers=2, seed=5)
+    a, b = mk(False), mk(True)
+    for _ in range(2):  # epoch 1 replays from cache
+        for ba, bb in zip(a, b):
+            np.testing.assert_array_equal(ba["image"], bb["image"])
+            np.testing.assert_array_equal(ba["mask"], bb["mask"])
+        a.set_epoch(1), b.set_epoch(1)
+
+
 def test_augmentation_keeps_pairs_aligned(data_root):
     """Rotations/flips must apply identically to image and mask."""
     ds = SegmentationDataset(data_root, build_transforms((64, 64), augment=True), (64, 64))

@@ -20,10 +20,16 @@ pipeline, so random augmentation still varies per epoch while the PNG
 decode + downscale — the dominant host cost on a 1-core host — is paid
 once.  Parity-exact: the deterministic PairedResize precedes every random
 transform, and resizing an already-resized image is the identity.
+
+``cache="auto"`` (the ``dataset.cache`` config default) enables the cache
+only when the whole decoded dataset fits in a quarter of the host's
+currently-available RAM — uncached, the host pipeline feeds ~144 img/s on
+this 1-core host, below every measured training step rate (PERF.md round
+3), so caching whenever it is safe is the right default.
 """
 
 import os
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional, Tuple, Union
 
 import numpy as np
 from PIL import Image, ImageFile
@@ -32,6 +38,22 @@ ImageFile.LOAD_TRUNCATED_IMAGES = True  # tolerate corrupt tails like reference 
 
 _IMG_EXTS = (".png", ".jpg", ".jpeg", ".tif", ".tiff", ".bmp")
 
+# auto mode caches only if the decoded set fits in this fraction of
+# MemAvailable (tests monkeypatch _mem_available_bytes)
+_AUTO_CACHE_RAM_FRACTION = 0.25
+_AUTO_CACHE_FALLBACK_BUDGET = 512 * 1024**2  # MemAvailable unreadable
+
+
+def _mem_available_bytes() -> Optional[int]:
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) * 1024
+    except OSError:
+        pass
+    return None
+
 
 class SegmentationDataset:
     def __init__(
@@ -39,13 +61,11 @@ class SegmentationDataset:
         root: str,
         transform: Optional[Callable] = None,
         img_size: Tuple[int, int] = (224, 224),
-        cache: bool = False,
+        cache: Union[bool, str] = False,
     ):
         self.root = root.replace("\\", "/")
         self.transform = transform
         self.img_size = tuple(img_size)
-        self.cache = cache
-        self._cached = {} if cache else None
         img_dir = os.path.join(self.root, "original")
         mask_dir = os.path.join(self.root, "mask")
         if not os.path.isdir(img_dir) or not os.path.isdir(mask_dir):
@@ -64,6 +84,18 @@ class SegmentationDataset:
                 self.samples.append((os.path.join(img_dir, f), masks_by_base[base], f))
         if not self.samples:
             raise FileNotFoundError(f"no paired image/mask files under {self.root}")
+        if cache == "auto":
+            # post-resize uint8 footprint: H*W*3 image + H*W mask per pair
+            need = len(self.samples) * (self.img_size[0] * self.img_size[1] * 4)
+            avail = _mem_available_bytes()
+            budget = (_AUTO_CACHE_FALLBACK_BUDGET if avail is None
+                      else int(avail * _AUTO_CACHE_RAM_FRACTION))
+            cache = need <= budget
+            if not cache:
+                print(f"dataset cache auto-disabled: {need / 1e6:.0f} MB decoded"
+                      f" > {budget / 1e6:.0f} MB budget ({self.root})")
+        self.cache = bool(cache)
+        self._cached = {} if self.cache else None
 
     def __len__(self):
         return len(self.samples)

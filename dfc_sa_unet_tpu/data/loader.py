@@ -150,9 +150,11 @@ class DataLoaderFactory:
         self.use_augmentation = ds.get("augmentation", True)
         # decode+resize once into RAM (~200 KB/sample at 224) — makes the
         # 1-core host pipeline outrun every measured training step rate
-        # (PERF.md round 3: host input pipeline); off by default to match
-        # the reference's per-epoch re-decode for arbitrarily large sets
-        self.cache = ds.get("cache", False)
+        # (PERF.md round 3: host input pipeline).  Default "auto": cache
+        # only when the decoded set fits in 25% of currently-available RAM,
+        # so arbitrarily large sets still stream per-epoch like the
+        # reference's loader; set true/false to force.
+        self.cache = ds.get("cache", "auto")
         self.seed = seed
 
     def get_train_loader(self, drop_last: bool = False) -> BatchLoader:

@@ -113,3 +113,28 @@ def test_augmentation_keeps_pairs_aligned(data_root):
     inter = (bright * m).sum()
     dice = 2 * inter / (bright.sum() + m.sum() + 1e-7)
     assert dice > 0.7, f"augmented image/mask desynced (dice={dice:.3f})"
+
+
+def test_auto_cache_enables_when_it_fits(data_root):
+    """'auto' (the dataset.cache config default) caches a tiny dataset."""
+    ds = SegmentationDataset(data_root, None, (32, 32), cache="auto")
+    assert ds.cache is True and ds._cached is not None
+
+
+def test_auto_cache_disables_when_too_large(data_root, monkeypatch):
+    from dfc_sa_unet_tpu.data import dataset as dsmod
+
+    monkeypatch.setattr(dsmod, "_mem_available_bytes", lambda: 4 * 32 * 32)
+    ds = SegmentationDataset(data_root, None, (32, 32), cache="auto")
+    assert ds.cache is False and ds._cached is None
+
+
+def test_factory_default_cache_is_auto(data_root):
+    from dfc_sa_unet_tpu.data.loader import DataLoaderFactory
+
+    cfg = {"dataset": {"train_dir": data_root, "val_dir": data_root,
+                       "img_size": [32, 32]},
+           "training": {"batch_size": 4}}
+    f = DataLoaderFactory(cfg)
+    assert f.cache == "auto"
+    assert f.get_train_loader().dataset.cache is True  # tiny fixture fits

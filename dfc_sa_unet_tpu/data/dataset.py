@@ -26,6 +26,13 @@ only when the whole decoded dataset fits in a quarter of the host's
 currently-available RAM — uncached, the host pipeline feeds ~144 img/s on
 this 1-core host, below every measured training step rate (PERF.md round
 3), so caching whenever it is safe is the right default.
+
+Contract safety: post-resize arrays are cached only when the transform
+provably begins with ``PairedResize(img_size)`` (every shipped pipeline —
+``build_transforms`` — does).  Any other transform (including ``None``)
+caches the decoded ORIGINALS under ``cache=True`` so cached and uncached
+modes return identical data, and ``"auto"`` disables itself (the
+original-resolution footprint is unknown before decoding).
 """
 
 import os
@@ -84,18 +91,37 @@ class SegmentationDataset:
                 self.samples.append((os.path.join(img_dir, f), masks_by_base[base], f))
         if not self.samples:
             raise FileNotFoundError(f"no paired image/mask files under {self.root}")
+        # Caching post-RESIZE arrays is only contract-exact when the
+        # transform provably begins with the matching deterministic
+        # resize (all shipped pipelines do — build_transforms).  For any
+        # other transform (incl. None) the cache stores the decoded
+        # ORIGINALS instead, so cached and uncached modes return
+        # identical data; 'auto' then disables (original-resolution
+        # footprint is unknown before decoding).
+        self._cache_resized = self._transform_starts_with_resize()
         if cache == "auto":
-            # post-resize uint8 footprint: H*W*3 image + H*W mask per pair
-            need = len(self.samples) * (self.img_size[0] * self.img_size[1] * 4)
-            avail = _mem_available_bytes()
-            budget = (_AUTO_CACHE_FALLBACK_BUDGET if avail is None
-                      else int(avail * _AUTO_CACHE_RAM_FRACTION))
-            cache = need <= budget
-            if not cache:
-                print(f"dataset cache auto-disabled: {need / 1e6:.0f} MB decoded"
-                      f" > {budget / 1e6:.0f} MB budget ({self.root})")
+            if not self._cache_resized:
+                cache = False
+            else:
+                # post-resize uint8 footprint: H*W*3 image + H*W mask per pair
+                need = len(self.samples) * (self.img_size[0] * self.img_size[1] * 4)
+                avail = _mem_available_bytes()
+                budget = (_AUTO_CACHE_FALLBACK_BUDGET if avail is None
+                          else int(avail * _AUTO_CACHE_RAM_FRACTION))
+                cache = need <= budget
+                if not cache:
+                    print(f"dataset cache auto-disabled: {need / 1e6:.0f} MB decoded"
+                          f" > {budget / 1e6:.0f} MB budget ({self.root})")
         self.cache = bool(cache)
         self._cached = {} if self.cache else None
+
+    def _transform_starts_with_resize(self) -> bool:
+        from dfc_sa_unet_tpu.data.transforms import PairedCompose, PairedResize
+
+        t = self.transform
+        if isinstance(t, PairedCompose) and t.transforms:
+            t = t.transforms[0]
+        return isinstance(t, PairedResize) and tuple(t.size) == self.img_size
 
     def __len__(self):
         return len(self.samples)
@@ -106,10 +132,13 @@ class SegmentationDataset:
             return Image.open(img_path).convert("RGB"), Image.open(mask_path).convert("L")
         hit = self._cached.get(idx)
         if hit is None:
-            # PIL .size is (W, H); PairedResize passes img_size straight
-            # through like the reference, so cache at that orientation
-            img = Image.open(img_path).convert("RGB").resize(self.img_size, Image.BILINEAR)
-            mask = Image.open(mask_path).convert("L").resize(self.img_size, Image.NEAREST)
+            img = Image.open(img_path).convert("RGB")
+            mask = Image.open(mask_path).convert("L")
+            if self._cache_resized:
+                # PIL .size is (W, H); PairedResize passes img_size straight
+                # through like the reference, so cache at that orientation
+                img = img.resize(self.img_size, Image.BILINEAR)
+                mask = mask.resize(self.img_size, Image.NEAREST)
             hit = (np.asarray(img, np.uint8), np.asarray(mask, np.uint8))
             self._cached[idx] = hit  # GIL-atomic; duplicate fills are idempotent
         return Image.fromarray(hit[0], "RGB"), Image.fromarray(hit[1], "L")

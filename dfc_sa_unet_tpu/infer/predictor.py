@@ -171,13 +171,22 @@ class Predictor:
         if 64 <= n < 128:
             pad = np.zeros((128 - n, *images_u8.shape[1:]), dtype=np.uint8)
             return self.predict_probs(np.concatenate([np.asarray(images_u8), pad]))[:n]
+        # batch-size policy settled; mesh divisibility is handled below
+        # WITHOUT re-entering the policy (a mesh whose size does not divide
+        # 128 would otherwise pad past 128 and recurse forever)
+        return self._run_exact(np.asarray(images_u8))
+
+    def _run_exact(self, images_u8: np.ndarray) -> np.ndarray:
+        """Forward a batch at its given size (plus mesh padding if needed),
+        bypassing the 64/128 batch-shape policy."""
+        n = images_u8.shape[0]
         if self.mesh is not None:
             n_dev = self.mesh.devices.size
             if n % n_dev != 0:
                 # batch must divide the mesh: zero-pad and discard (eval-mode
                 # forward is per-sample independent, so padding is inert)
                 pad = np.zeros(((-n) % n_dev, *images_u8.shape[1:]), dtype=np.uint8)
-                return self.predict_probs(np.concatenate([np.asarray(images_u8), pad]))[:n]
+                images_u8 = np.concatenate([images_u8, pad])
             images_u8 = jax.device_put(jnp.asarray(images_u8), self._data_sharding)
         else:
             images_u8 = jnp.asarray(images_u8)
@@ -199,7 +208,7 @@ class Predictor:
             probs = self._compiled[key](self.variables, images_u8)
         else:
             probs = self._forward_u8(self.variables, images_u8)
-        return np.asarray(probs)[..., 0]
+        return np.asarray(probs)[:n, ..., 0]  # [:n] discards mesh padding
 
     # ------------------------------------------------------------- direct
 

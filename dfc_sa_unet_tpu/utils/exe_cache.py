@@ -91,9 +91,14 @@ def tree_fingerprint(tree) -> str:
 
 
 def _key(tag: str, salt: str, args) -> str:
-    parts = [tag, salt, source_fingerprint()]
+    # topology: an executable compiled for one device set/mesh is not the
+    # one for another (a single-device entry must never be served to a
+    # --data_parallel run of the same shapes, nor vice versa)
+    topo = ",".join(f"{d.platform}:{d.id}" for d in jax.devices())
+    parts = [tag, salt, source_fingerprint(), topo]
     for a in jax.tree.leaves(args):
-        parts.append(f"{getattr(a, 'shape', ())}:{getattr(a, 'dtype', type(a).__name__)}")
+        parts.append(f"{getattr(a, 'shape', ())}:{getattr(a, 'dtype', type(a).__name__)}"
+                     f":{getattr(a, 'sharding', '')}")
     return hashlib.sha1("|".join(map(str, parts)).encode()).hexdigest()[:20]
 
 
@@ -102,11 +107,18 @@ def _dry_run(exe, args) -> None:
 
     Proves the executable is runnable on the local backend/topology
     before any real (possibly to-be-donated) buffers are handed to it.
-    The dummies are themselves donated/consumed — that's fine, they are
-    garbage.  Raises on any failure."""
-    dummies = jax.tree.map(
-        lambda a: jnp.zeros(a.shape, a.dtype) if hasattr(a, "shape") else a, args
-    )
+    Dummies are placed with each arg's own sharding, so mesh-compiled
+    entries (sharded/replicated TrainState) verify rather than failing
+    on layout mismatch.  The dummies are themselves donated/consumed —
+    that's fine, they are garbage.  Raises on any failure."""
+    def _dummy(a):
+        if not hasattr(a, "shape"):
+            return a
+        z = jnp.zeros(a.shape, a.dtype)
+        sharding = getattr(a, "sharding", None)
+        return jax.device_put(z, sharding) if sharding is not None else z
+
+    dummies = jax.tree.map(_dummy, args)
     jax.block_until_ready(exe(*dummies))
 
 

@@ -116,17 +116,44 @@ def test_augmentation_keeps_pairs_aligned(data_root):
 
 
 def test_auto_cache_enables_when_it_fits(data_root):
-    """'auto' (the dataset.cache config default) caches a tiny dataset."""
-    ds = SegmentationDataset(data_root, None, (32, 32), cache="auto")
-    assert ds.cache is True and ds._cached is not None
+    """'auto' (the dataset.cache config default) caches a tiny dataset
+    when the transform starts with the matching deterministic resize."""
+    tf = build_transforms((32, 32), augment=False)
+    ds = SegmentationDataset(data_root, tf, (32, 32), cache="auto")
+    assert ds.cache is True and ds._cached is not None and ds._cache_resized
 
 
 def test_auto_cache_disables_when_too_large(data_root, monkeypatch):
     from dfc_sa_unet_tpu.data import dataset as dsmod
 
     monkeypatch.setattr(dsmod, "_mem_available_bytes", lambda: 4 * 32 * 32)
-    ds = SegmentationDataset(data_root, None, (32, 32), cache="auto")
+    tf = build_transforms((32, 32), augment=False)
+    ds = SegmentationDataset(data_root, tf, (32, 32), cache="auto")
     assert ds.cache is False and ds._cached is None
+
+
+def test_auto_cache_disables_for_custom_transforms(data_root):
+    """'auto' must not cache post-resize data under a transform that does
+    not begin with PairedResize(img_size) — resolution would then depend
+    on host free RAM (review finding)."""
+    ds = SegmentationDataset(data_root, None, (32, 32), cache="auto")
+    assert ds.cache is False
+
+
+def test_forced_cache_with_custom_transform_keeps_contract(data_root):
+    """cache=True with transform=None caches decoded ORIGINALS: outputs
+    must be bit-identical to the uncached dataset (original resolution,
+    not img_size)."""
+    plain = SegmentationDataset(data_root, None, (32, 32))
+    cached = SegmentationDataset(data_root, None, (32, 32), cache=True)
+    assert not cached._cache_resized
+    for idx in (0, 1):
+        a = plain[idx]
+        b = cached[idx]
+        np.testing.assert_array_equal(np.asarray(a["image"]), np.asarray(b["image"]))
+        np.testing.assert_array_equal(np.asarray(a["mask"]), np.asarray(b["mask"]))
+    b2 = cached[0]  # second access replays from cache
+    np.testing.assert_array_equal(np.asarray(plain[0]["image"]), np.asarray(b2["image"]))
 
 
 def test_factory_default_cache_is_auto(data_root):

@@ -173,3 +173,32 @@ def test_predict_probs_autopad_equivalence(predictor):
     assert got.shape == (65, 64, 64)
     want = predictor.predict_probs(x[:32])  # native small batch, no pad
     np.testing.assert_allclose(got[:32], want, atol=1e-5, rtol=1e-4)
+
+
+def test_exe_cache_key_and_dryrun_cover_sharding(predictor):
+    """A single-device executable must never be served to a mesh run of
+    the same shapes (and vice versa): the key covers the device topology
+    and each arg's sharding, and the donation dry-run places its dummies
+    with the args' own shardings so mesh entries verify instead of
+    failing on layout mismatch."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    from dfc_sa_unet_tpu.utils import exe_cache
+
+    x = jnp.asarray(np.random.default_rng(7).integers(
+        0, 256, size=(8, 64, 64, 3), dtype=np.uint8))
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    xs = jax.device_put(x, NamedSharding(mesh, PartitionSpec("data")))
+    vs = jax.device_put(predictor.variables, NamedSharding(mesh, PartitionSpec()))
+
+    k1 = exe_cache._key("t", "", (predictor.variables, x))
+    k2 = exe_cache._key("t", "", (vs, xs))
+    assert k1 != k2, "sharded args must key a separate cache entry"
+    assert k2 == exe_cache._key("t", "", (vs, xs))  # deterministic
+
+    # a mesh-compiled executable passes the dry-run with sharded dummies
+    exe = predictor._forward_u8.lower(vs, xs).compile()
+    exe_cache._dry_run(exe, (vs, xs))
+    # sanity: it computes the single-device values
+    want = np.asarray(predictor._forward_u8(predictor.variables, x))
+    np.testing.assert_allclose(np.asarray(exe(vs, xs)), want, atol=1e-6)

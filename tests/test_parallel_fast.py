@@ -192,3 +192,55 @@ def test_fused_mha_under_mesh_matches_single_device():
     got = jax.jit(lambda t: fused_mha(t, 6), in_shardings=(sh,))(jax.device_put(qkv, sh))
     assert len(got.sharding.device_set) == 8, got.sharding
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-6, rtol=1e-6)
+
+
+def test_data_parallel_int8_engine_matches_single_device(setup):
+    """inference.py --int8 --data_parallel composition: an Int8DFCEngine
+    apply_fn (weights closed over as jit constants) under Predictor's
+    mesh path must equal the single-device int8 probabilities."""
+    from dfc_sa_unet_tpu.infer.predictor import Predictor
+    from dfc_sa_unet_tpu.infer.quant import Int8DFCEngine
+
+    cfg, loader, batch, model = setup
+    variables = model.init(
+        jax.random.key(2), jnp.zeros((1, 16, 16, 3), jnp.float32), train=False
+    )
+    imgs = np.asarray(batch["image"])  # [8, 16, 16, 3] u8
+    from dfc_sa_unet_tpu.data.loader import normalize_on_device
+
+    engine = Int8DFCEngine(cfg, variables, dtype=jnp.float32,
+                           calib_batches=[normalize_on_device(jnp.asarray(imgs))])
+    apply_fn = lambda _, x: engine._forward(x)  # noqa: E731
+
+    p1 = Predictor(model, variables, apply_fn=apply_fn)
+    pm = Predictor(model, variables, apply_fn=apply_fn, mesh=data_parallel_mesh())
+    want = p1.predict_probs(imgs)
+    got = pm.predict_probs(imgs)
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-6)
+    # non-divisible batch pads to the mesh, shards, discards
+    np.testing.assert_allclose(pm.predict_probs(imgs[:5]),
+                               p1.predict_probs(imgs[:5]), atol=1e-6, rtol=1e-6)
+
+
+def test_mesh_size_not_dividing_128_terminates(setup):
+    """Regression: a mesh whose size does not divide 128 (e.g. 6 devices)
+    used to recurse forever on n=128 (pad to 132 -> chunk to 128 -> pad...).
+    The mesh pad must bypass the batch-shape policy."""
+    from jax.sharding import Mesh
+
+    from dfc_sa_unet_tpu.infer.predictor import Predictor
+
+    cfg, loader, batch, _ = setup
+    model = _MiniNet()
+    variables = model.init(
+        jax.random.key(3), jnp.zeros((1, 16, 16, 3), jnp.float32), train=False
+    )
+    mesh6 = Mesh(np.asarray(jax.devices()[:6]), ("data",))
+    p1 = Predictor(model, variables)
+    pm = Predictor(model, variables, mesh=mesh6)
+    imgs = np.repeat(np.asarray(batch["image"]), 16, axis=0)  # n=128
+    np.testing.assert_allclose(pm.predict_probs(imgs), p1.predict_probs(imgs),
+                               atol=1e-6, rtol=1e-6)
+    # and a small non-divisible batch (n=7 over 6 devices)
+    np.testing.assert_allclose(pm.predict_probs(imgs[:7]), p1.predict_probs(imgs[:7]),
+                               atol=1e-6, rtol=1e-6)

@@ -13,6 +13,7 @@ over all visible devices via a 1-D 'data' mesh (a no-op on one chip).
 """
 
 import argparse
+import os
 
 import jax
 
@@ -73,8 +74,12 @@ def main():
     # and dfc_sa_unet_tpu/__init__ re-honors that env var).
     device_cfg = str(config.get("training", {}).get("device", "auto")).lower()
     if device_cfg == "cpu":
-        jax.config.update("jax_platforms", "cpu")
-        print("training.device='cpu': forcing the CPU backend")
+        if os.environ.get("JAX_PLATFORMS"):
+            print(f"training.device='cpu' ignored: JAX_PLATFORMS="
+                  f"{os.environ['JAX_PLATFORMS']} takes precedence")
+        else:
+            jax.config.update("jax_platforms", "cpu")
+            print("training.device='cpu': forcing the CPU backend")
     if args.grad_accum:
         config["training"]["grad_accum"] = args.grad_accum
     if args.exe_cache:

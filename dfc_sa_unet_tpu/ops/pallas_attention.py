@@ -123,24 +123,36 @@ fused_pooled_attention.defvjp(_fused_fwd, _fused_bwd)
 # unrolled loop inside one program; grid is over the batch.
 
 
-def _mha_kernel(qkv_ref, o_ref, *, nh, hd, scale):
-    x = qkv_ref[0]  # [N, 3E]
-    e = nh * hd
+def _heads_attention(get_qkv, nh, scale, out_dtype):
+    """Shared per-head attention math for both MHA kernels: f32 scores,
+    max-subtracted softmax, AV in f32 — ``get_qkv(h)`` returns that
+    head's [N, d] q/k/v slices (packed and separate variants differ only
+    in slicing)."""
     outs = []
     for h in range(nh):
-        q = x[:, h * hd:(h + 1) * hd].astype(jnp.float32)
-        k = x[:, e + h * hd:e + (h + 1) * hd].astype(jnp.float32)
-        v = x[:, 2 * e + h * hd:2 * e + (h + 1) * hd]
+        q, k, v = get_qkv(h)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q.astype(jnp.float32), k.astype(jnp.float32),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
         ) * scale
         s = s - jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s)
         attn = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
         outs.append(
-            jnp.dot(attn, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+            jnp.dot(attn, v, preferred_element_type=jnp.float32).astype(out_dtype)
         )
-    o_ref[0] = jnp.concatenate(outs, axis=-1)
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _mha_kernel(qkv_ref, o_ref, *, nh, hd, scale):
+    x = qkv_ref[0]  # [N, 3E]
+    e = nh * hd
+    o_ref[0] = _heads_attention(
+        lambda h: (x[:, h * hd:(h + 1) * hd],
+                   x[:, e + h * hd:e + (h + 1) * hd],
+                   x[:, 2 * e + h * hd:2 * e + (h + 1) * hd]),
+        nh, scale, o_ref.dtype,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
@@ -173,25 +185,29 @@ def _fused_mha_packed(qkv, num_heads, interpret=False):
     )(qkv)
 
 
-def _mha_reference(qkv, num_heads):
+def _mha_sep_reference(q, k, v, num_heads):
     """The lax reference math (mirrors vit_seg.TorchMultiheadAttention's
-    split/einsum chain) — used for the custom-VJP backward and CPU tests."""
-    b, n, e3 = qkv.shape
-    e = e3 // 3
+    split/einsum chain) — used for the custom-VJP backwards and CPU tests
+    of BOTH variants (packed splits qkv then delegates here)."""
+    b, n, e = q.shape
     hd = e // num_heads
-    q, k, v = jnp.split(qkv, 3, axis=-1)
 
     def heads(t):
         return t.reshape(b, n, num_heads, hd).transpose(0, 2, 1, 3)
 
-    q, k, v = heads(q), heads(k), heads(v)
-    s = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
+    qh, kh, vh = heads(q), heads(k), heads(v)
+    s = jnp.einsum("bhnd,bhmd->bhnm", qh, kh, preferred_element_type=jnp.float32)
     s = s / float(hd) ** 0.5
-    attn = jax.nn.softmax(s, axis=-1).astype(qkv.dtype)
+    attn = jax.nn.softmax(s, axis=-1).astype(q.dtype)
     out = jnp.einsum(
-        "bhnm,bhmd->bhnd", attn, v, preferred_element_type=jnp.float32
-    ).astype(qkv.dtype)
+        "bhnm,bhmd->bhnd", attn, vh, preferred_element_type=jnp.float32
+    ).astype(q.dtype)
     return out.transpose(0, 2, 1, 3).reshape(b, n, e)
+
+
+def _mha_reference(qkv, num_heads):
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    return _mha_sep_reference(q, k, v, num_heads)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
@@ -222,21 +238,12 @@ fused_mha.defvjp(_mha_fwd, _mha_bwd)
 
 def _mha_kernel_sep(q_ref, k_ref, v_ref, o_ref, *, nh, hd, scale):
     """Separate-projection variant (TransUNet's q/k/v Linears)."""
-    outs = []
-    for h in range(nh):
-        q = q_ref[0, :, h * hd:(h + 1) * hd].astype(jnp.float32)
-        k = k_ref[0, :, h * hd:(h + 1) * hd].astype(jnp.float32)
-        v = v_ref[0, :, h * hd:(h + 1) * hd]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s)
-        attn = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
-        outs.append(
-            jnp.dot(attn, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
-        )
-    o_ref[0] = jnp.concatenate(outs, axis=-1)
+    o_ref[0] = _heads_attention(
+        lambda h: (q_ref[0, :, h * hd:(h + 1) * hd],
+                   k_ref[0, :, h * hd:(h + 1) * hd],
+                   v_ref[0, :, h * hd:(h + 1) * hd]),
+        nh, scale, o_ref.dtype,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
@@ -263,23 +270,6 @@ def _fused_mha_sep(q, k, v, num_heads, interpret=False):
         interpret=interpret,
         **kwargs,
     )(q, k, v)
-
-
-def _mha_sep_reference(q, k, v, num_heads):
-    b, n, e = q.shape
-    hd = e // num_heads
-
-    def heads(t):
-        return t.reshape(b, n, num_heads, hd).transpose(0, 2, 1, 3)
-
-    qh, kh, vh = heads(q), heads(k), heads(v)
-    s = jnp.einsum("bhnd,bhmd->bhnm", qh, kh, preferred_element_type=jnp.float32)
-    s = s / float(hd) ** 0.5
-    attn = jax.nn.softmax(s, axis=-1).astype(q.dtype)
-    out = jnp.einsum(
-        "bhnm,bhmd->bhnd", attn, vh, preferred_element_type=jnp.float32
-    ).astype(q.dtype)
-    return out.transpose(0, 2, 1, 3).reshape(b, n, e)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

@@ -124,6 +124,7 @@ class Trainer:
         # Preemption safety: SIGTERM/SIGINT request a checkpoint + clean stop
         # (TPU VMs are preemptible; the reference has no recovery story).
         self._stop_requested = threading.Event()
+        self._input_bound_warned = False
 
         # donate the TrainState: the step returns a new state of identical
         # structure, so XLA can update params/opt/BN stats in place instead
@@ -350,7 +351,19 @@ class Trainer:
             self.train_loader, total=len(self.train_loader),
             desc=f"Epoch {epoch + 1}/{self.num_epochs} [Train]", leave=False,
         )
-        for batch in progress:
+        # input-bound detection: the loader is double-buffered, so any time
+        # spent in next() is the host pipeline failing to keep up with the
+        # device step (PERF.md round 3: uncached decode feeds ~144 img/s on
+        # a 1-core host, below every measured step rate)
+        wait_s = 0.0
+        epoch_t0 = time.perf_counter()
+        batch_iter = iter(progress)
+        while True:
+            t0 = time.perf_counter()
+            batch = next(batch_iter, None)
+            wait_s += time.perf_counter() - t0
+            if batch is None:
+                break
             imgs, masks, _ = self._put_batch(batch)
             state, metrics = self._train_step(state, imgs, masks)
             loss = float(metrics["loss"])
@@ -372,6 +385,16 @@ class Trainer:
         progress.close()
         if timer.steps:
             print(f"  [epoch {epoch + 1}] {timer.summary()}")
+        epoch_wall = time.perf_counter() - epoch_t0
+        if (not self._input_bound_warned and n_used >= 2
+                and epoch_wall > 0 and wait_s / epoch_wall > 0.3):
+            self._input_bound_warned = True
+            ds = getattr(self.train_loader, "dataset", None)
+            cache_hint = ("" if getattr(ds, "cache", True)
+                          else " enable dataset.cache or")
+            print(f"  [input-bound] {wait_s / epoch_wall:.0%} of epoch "
+                  f"{epoch + 1} was spent waiting on the host loader —"
+                  f"{cache_hint} raise training.num_workers")
         n = max(n_used, 1)
         return state, (sums["loss"] / n, sums["iou"] / n, sums["dice"] / n)
 

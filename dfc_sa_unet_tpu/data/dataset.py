@@ -27,6 +27,15 @@ currently-available RAM — uncached, the host pipeline feeds ~144 img/s on
 this 1-core host, below every measured training step rate (PERF.md round
 3), so caching whenever it is safe is the right default.
 
+``cache="disk"`` extends the same decode-once win to datasets too large
+for RAM (e.g. the Mapping Challenge satellite set the reference targets):
+the post-resize uint8 arrays are written once to ``.npy`` memmaps next to
+the dataset (``<root>/.dfc_cache/``, falling back to
+``~/.cache/dfc_sa_unet_tpu/`` when the dataset directory is read-only) and
+replayed by memory-mapped reads.  The manifest records every source
+file's (path, mtime, size); any mismatch rebuilds the cache.  Explicit
+opt-in only — ``auto`` never writes to disk.
+
 Contract safety: post-resize arrays are cached only when the transform
 provably begins with ``PairedResize(img_size)`` (every shipped pipeline —
 ``build_transforms`` — does).  Any other transform (including ``None``)
@@ -35,6 +44,8 @@ modes return identical data, and ``"auto"`` disables itself (the
 original-resolution footprint is unknown before decoding).
 """
 
+import hashlib
+import json
 import os
 from typing import Callable, Optional, Tuple, Union
 
@@ -99,6 +110,20 @@ class SegmentationDataset:
         # identical data; 'auto' then disables (original-resolution
         # footprint is unknown before decoding).
         self._cache_resized = self._transform_starts_with_resize()
+        self._disk = None
+        if cache == "disk":
+            if not self._cache_resized:
+                raise ValueError(
+                    "cache='disk' stores post-resize arrays, which requires the "
+                    "transform to begin with PairedResize(img_size); pass the "
+                    "build_transforms pipeline or use cache=True/False"
+                )
+            self._disk = self._open_disk_cache()
+            self.cache = True
+            self._cached = None  # memmap-backed, no per-index dict
+            return
+        if isinstance(cache, str) and cache != "auto":
+            raise ValueError(f"cache must be True/False/'auto'/'disk', got {cache!r}")
         if cache == "auto":
             if not self._cache_resized:
                 cache = False
@@ -115,6 +140,71 @@ class SegmentationDataset:
         self.cache = bool(cache)
         self._cached = {} if self.cache else None
 
+    def _disk_cache_dir(self) -> str:
+        """Prefer <root>/.dfc_cache; fall back to ~/.cache when unwritable."""
+        local = os.path.join(self.root, ".dfc_cache")
+        try:
+            os.makedirs(local, exist_ok=True)
+            probe = os.path.join(local, ".w")
+            with open(probe, "w"):
+                pass
+            os.remove(probe)
+            return local
+        except OSError:
+            key = hashlib.sha256(os.path.abspath(self.root).encode()).hexdigest()[:16]
+            alt = os.path.join(os.path.expanduser("~"), ".cache", "dfc_sa_unet_tpu", key)
+            os.makedirs(alt, exist_ok=True)
+            return alt
+
+    def _open_disk_cache(self):
+        """Open (building/rebuilding as needed) the post-resize memmap cache.
+
+        Returns (imgs_mm [N,H,W,3] u8, masks_mm [N,H,W] u8) opened
+        read-only.  Staleness is keyed on every source file's
+        (path, mtime_ns, size) plus img_size — any change rebuilds.
+        """
+        w, h = self.img_size[0], self.img_size[1]  # PIL resize takes (W, H)
+        cdir = self._disk_cache_dir()
+        tag = f"{w}x{h}"
+        paths = {k: os.path.join(cdir, f"{k}_{tag}.npy") for k in ("imgs", "masks")}
+        man_path = os.path.join(cdir, f"manifest_{tag}.json")
+
+        def stat_row(p):
+            st = os.stat(p)
+            return [os.path.abspath(p), st.st_mtime_ns, st.st_size]
+
+        manifest = {
+            "img_size": [w, h],
+            "samples": [stat_row(ip) + stat_row(mp) for ip, mp, _ in self.samples],
+        }
+        try:
+            with open(man_path) as f:
+                fresh = json.load(f) == manifest
+        except (OSError, ValueError):
+            fresh = False
+        if not fresh:
+            n = len(self.samples)
+            print(f"building disk cache for {n} samples under {cdir} ...", flush=True)
+            imgs = np.lib.format.open_memmap(
+                paths["imgs"] + ".tmp", mode="w+", dtype=np.uint8, shape=(n, h, w, 3))
+            masks = np.lib.format.open_memmap(
+                paths["masks"] + ".tmp", mode="w+", dtype=np.uint8, shape=(n, h, w))
+            for i, (ip, mp, _) in enumerate(self.samples):
+                img = Image.open(ip).convert("RGB").resize(self.img_size, Image.BILINEAR)
+                mask = Image.open(mp).convert("L").resize(self.img_size, Image.NEAREST)
+                imgs[i] = np.asarray(img, np.uint8)
+                masks[i] = np.asarray(mask, np.uint8)
+            imgs.flush()
+            masks.flush()
+            del imgs, masks
+            for k in paths:
+                os.replace(paths[k] + ".tmp", paths[k])
+            with open(man_path + ".tmp", "w") as f:
+                json.dump(manifest, f)
+            os.replace(man_path + ".tmp", man_path)
+        return (np.load(paths["imgs"], mmap_mode="r"),
+                np.load(paths["masks"], mmap_mode="r"))
+
     def _transform_starts_with_resize(self) -> bool:
         from dfc_sa_unet_tpu.data.transforms import PairedCompose, PairedResize
 
@@ -128,6 +218,10 @@ class SegmentationDataset:
 
     def _load_pair(self, idx):
         img_path, mask_path, _ = self.samples[idx]
+        if self._disk is not None:
+            imgs_mm, masks_mm = self._disk
+            return (Image.fromarray(np.ascontiguousarray(imgs_mm[idx]), "RGB"),
+                    Image.fromarray(np.ascontiguousarray(masks_mm[idx]), "L"))
         if self._cached is None:
             return Image.open(img_path).convert("RGB"), Image.open(mask_path).convert("L")
         hit = self._cached.get(idx)

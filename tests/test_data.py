@@ -165,3 +165,57 @@ def test_factory_default_cache_is_auto(data_root):
     f = DataLoaderFactory(cfg)
     assert f.cache == "auto"
     assert f.get_train_loader().dataset.cache is True  # tiny fixture fits
+
+
+def test_disk_cache_matches_uncached_and_persists(data_root):
+    """cache='disk' replays bit-identical samples via .npy memmaps; a second
+    dataset over the same root reuses the manifest without rebuilding."""
+    import os
+
+    tf = build_transforms((48, 48), augment=True)
+    plain = SegmentationDataset(data_root, tf, (48, 48))
+    disk = SegmentationDataset(data_root, tf, (48, 48), cache="disk")
+    assert disk._disk is not None
+    cdir = os.path.join(data_root, ".dfc_cache")
+    assert os.path.isfile(os.path.join(cdir, "imgs_48x48.npy"))
+    for idx in range(len(plain)):
+        a = plain.__getitem__(idx, rng=np.random.default_rng(idx))
+        b = disk.__getitem__(idx, rng=np.random.default_rng(idx))
+        np.testing.assert_array_equal(a["image"], b["image"])
+        np.testing.assert_array_equal(a["mask"], b["mask"])
+
+    # reopen: manifest fresh -> memmaps reused (mtime of the npy unchanged)
+    mtime = os.path.getmtime(os.path.join(cdir, "imgs_48x48.npy"))
+    disk2 = SegmentationDataset(data_root, tf, (48, 48), cache="disk")
+    assert os.path.getmtime(os.path.join(cdir, "imgs_48x48.npy")) == mtime
+    b2 = disk2.__getitem__(3, rng=np.random.default_rng(3))
+    a2 = plain.__getitem__(3, rng=np.random.default_rng(3))
+    np.testing.assert_array_equal(a2["image"], b2["image"])
+
+
+def test_disk_cache_rebuilds_on_source_change(tmp_path):
+    """Touching a source image invalidates the manifest and rebuilds."""
+    import os
+    import time
+
+    root = generate(str(tmp_path), n=4, size=48, seed=1)
+    tf = build_transforms((32, 32), augment=False)
+    SegmentationDataset(root, tf, (32, 32), cache="disk")
+    img0 = os.path.join(root, "original", sorted(os.listdir(os.path.join(root, "original")))[0])
+    # flip some pixels: content change with same size
+    from PIL import Image as _I
+    a = np.asarray(_I.open(img0).convert("RGB")).copy()
+    a[:8] = 255 - a[:8]
+    _I.fromarray(a).save(img0)
+    os.utime(img0, ns=(time.time_ns(), time.time_ns() + 10**6))
+
+    ds = SegmentationDataset(root, tf, (32, 32), cache="disk")
+    fresh = SegmentationDataset(root, tf, (32, 32))
+    s_ds = ds.__getitem__(0, rng=np.random.default_rng(0))
+    s_fr = fresh.__getitem__(0, rng=np.random.default_rng(0))
+    np.testing.assert_array_equal(s_ds["image"], s_fr["image"])
+
+
+def test_disk_cache_requires_resize_transform(data_root):
+    with pytest.raises(ValueError):
+        SegmentationDataset(data_root, None, (32, 32), cache="disk")

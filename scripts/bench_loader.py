@@ -56,7 +56,7 @@ def main():
         rows = []
         for augment in (False, True):
             tf = build_transforms((args.img, args.img), augment=augment)
-            for cache in (False, True):
+            for cache in (False, True, "disk"):
                 ds = SegmentationDataset(root, tf, (args.img, args.img), cache=cache) \
                     if cache else SegmentationDataset(root, tf, (args.img, args.img))
                 for w in args.workers:

@@ -89,3 +89,36 @@ def test_resume_continues_epoch_and_history(env):
     trainer.train(resume_from=ckpt)
     assert trainer.start_epoch == 2
     assert len(trainer.history["train_losses"]) == 4  # 2 restored + 2 new
+
+
+def test_input_bound_warning_fires_once(env, capsys):
+    """A loader that starves the step must trigger the one-shot
+    [input-bound] hint (>30% of epoch wall spent in next())."""
+    import time
+
+    root, log_dir = env
+    config = _config(root, os.path.join(log_dir, "ib"), epochs=2)
+    factory = DataLoaderFactory(config, seed=0)
+
+    class SlowLoader:
+        def __init__(self, inner):
+            self.inner = inner
+            self.dataset = inner.dataset
+
+        def __len__(self):
+            return len(self.inner)
+
+        def set_epoch(self, e):
+            self.inner.set_epoch(e)
+
+        def __iter__(self):
+            for b in self.inner:
+                time.sleep(0.5)
+                yield b
+
+    model = ModelFactory.get_model(config)
+    trainer = Trainer(model, SlowLoader(factory.get_train_loader()),
+                      factory.get_val_loader(), config, seed=0)
+    trainer.train()
+    out = capsys.readouterr().out
+    assert out.count("[input-bound]") == 1

@@ -219,3 +219,18 @@ def test_disk_cache_rebuilds_on_source_change(tmp_path):
 def test_disk_cache_requires_resize_transform(data_root):
     with pytest.raises(ValueError):
         SegmentationDataset(data_root, None, (32, 32), cache="disk")
+
+
+def test_disk_cache_loader_matches_uncached(data_root):
+    """BatchLoader over a disk-cached dataset yields bit-identical batches
+    (incl. fresh per-epoch augmentation) to the uncached dataset."""
+    tf = build_transforms((32, 32), augment=True)
+    mk = lambda cache: BatchLoader(
+        SegmentationDataset(data_root, tf, (32, 32), cache=cache),
+        batch_size=4, shuffle=True, num_workers=2, seed=5)
+    a, b = mk(False), mk("disk")
+    for epoch in range(2):
+        a.set_epoch(epoch), b.set_epoch(epoch)
+        for ba, bb in zip(a, b):
+            np.testing.assert_array_equal(ba["image"], bb["image"])
+            np.testing.assert_array_equal(ba["mask"], bb["mask"])

@@ -140,6 +140,14 @@ class SegmentationDataset:
         self.cache = bool(cache)
         self._cached = {} if self.cache else None
 
+    def _decode_resized(self, img_path, mask_path):
+        """Decode + deterministic resize — the ONE place the parity contract
+        (image BILINEAR, mask NEAREST, PIL (W,H) pass-through like the
+        reference's ExtResize) lives for both the RAM and disk caches."""
+        img = Image.open(img_path).convert("RGB").resize(self.img_size, Image.BILINEAR)
+        mask = Image.open(mask_path).convert("L").resize(self.img_size, Image.NEAREST)
+        return img, mask
+
     def _disk_cache_dir(self) -> str:
         """Prefer <root>/.dfc_cache; fall back to ~/.cache when unwritable."""
         local = os.path.join(self.root, ".dfc_cache")
@@ -171,7 +179,9 @@ class SegmentationDataset:
 
         def stat_row(p):
             st = os.stat(p)
-            return [os.path.abspath(p), st.st_mtime_ns, st.st_size]
+            # key on root-relative paths so a different cwd / spelling of
+            # the same root does not spuriously rebuild a multi-GB cache
+            return [os.path.relpath(p, self.root), st.st_mtime_ns, st.st_size]
 
         manifest = {
             "img_size": [w, h],
@@ -179,29 +189,33 @@ class SegmentationDataset:
         }
         try:
             with open(man_path) as f:
-                fresh = json.load(f) == manifest
+                fresh = (json.load(f) == manifest
+                         and all(os.path.exists(p) for p in paths.values()))
         except (OSError, ValueError):
             fresh = False
         if not fresh:
             n = len(self.samples)
             print(f"building disk cache for {n} samples under {cdir} ...", flush=True)
+            # per-process tmp names: concurrent builders (train + eval jobs
+            # starting together) each publish atomically via os.replace and
+            # never write into each other's files
+            tmp = f".tmp{os.getpid()}"
             imgs = np.lib.format.open_memmap(
-                paths["imgs"] + ".tmp", mode="w+", dtype=np.uint8, shape=(n, h, w, 3))
+                paths["imgs"] + tmp, mode="w+", dtype=np.uint8, shape=(n, h, w, 3))
             masks = np.lib.format.open_memmap(
-                paths["masks"] + ".tmp", mode="w+", dtype=np.uint8, shape=(n, h, w))
+                paths["masks"] + tmp, mode="w+", dtype=np.uint8, shape=(n, h, w))
             for i, (ip, mp, _) in enumerate(self.samples):
-                img = Image.open(ip).convert("RGB").resize(self.img_size, Image.BILINEAR)
-                mask = Image.open(mp).convert("L").resize(self.img_size, Image.NEAREST)
+                img, mask = self._decode_resized(ip, mp)
                 imgs[i] = np.asarray(img, np.uint8)
                 masks[i] = np.asarray(mask, np.uint8)
             imgs.flush()
             masks.flush()
             del imgs, masks
             for k in paths:
-                os.replace(paths[k] + ".tmp", paths[k])
-            with open(man_path + ".tmp", "w") as f:
+                os.replace(paths[k] + tmp, paths[k])
+            with open(man_path + tmp, "w") as f:
                 json.dump(manifest, f)
-            os.replace(man_path + ".tmp", man_path)
+            os.replace(man_path + tmp, man_path)
         return (np.load(paths["imgs"], mmap_mode="r"),
                 np.load(paths["masks"], mmap_mode="r"))
 
@@ -226,13 +240,11 @@ class SegmentationDataset:
             return Image.open(img_path).convert("RGB"), Image.open(mask_path).convert("L")
         hit = self._cached.get(idx)
         if hit is None:
-            img = Image.open(img_path).convert("RGB")
-            mask = Image.open(mask_path).convert("L")
             if self._cache_resized:
-                # PIL .size is (W, H); PairedResize passes img_size straight
-                # through like the reference, so cache at that orientation
-                img = img.resize(self.img_size, Image.BILINEAR)
-                mask = mask.resize(self.img_size, Image.NEAREST)
+                img, mask = self._decode_resized(img_path, mask_path)
+            else:
+                img = Image.open(img_path).convert("RGB")
+                mask = Image.open(mask_path).convert("L")
             hit = (np.asarray(img, np.uint8), np.asarray(mask, np.uint8))
             self._cached[idx] = hit  # GIL-atomic; duplicate fills are idempotent
         return Image.fromarray(hit[0], "RGB"), Image.fromarray(hit[1], "L")

@@ -33,7 +33,7 @@ import numpy as np
 LR, MOMENTUM, WD, CLIP = 0.01, 0.9, 1e-4, 1.0
 
 
-def make_batches(img, n_train, n_val, batch, epochs, seed=7):
+def make_batches(img, n_train, n_val, epochs, seed=7):
     from dfc_sa_unet_tpu.data.synthetic import generate
     from dfc_sa_unet_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
     from PIL import Image
@@ -137,7 +137,7 @@ def main():
         "docs", "validation", "fused_mha_dynamics.csv"))
     args = ap.parse_args()
 
-    data = make_batches(args.img, args.n_train, args.n_val, args.batch, args.epochs)
+    data = make_batches(args.img, args.n_train, args.n_val, args.epochs)
     if args.side != "both":
         rows = run(args.side == "fused", data, args.img, args.batch, args.epochs, args.f32)
         print(f"[{args.side}] final: loss {rows[-1, 1]:.4f} val_dice {rows[-1, 2]:.4f}")

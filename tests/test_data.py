@@ -234,3 +234,19 @@ def test_disk_cache_loader_matches_uncached(data_root):
         for ba, bb in zip(a, b):
             np.testing.assert_array_equal(ba["image"], bb["image"])
             np.testing.assert_array_equal(ba["mask"], bb["mask"])
+
+
+def test_disk_cache_rebuilds_when_npy_deleted(tmp_path):
+    """A fresh manifest with missing .npy files (user reclaimed space but
+    left the small manifest) must rebuild, not crash."""
+    import os
+
+    root = generate(str(tmp_path), n=3, size=48, seed=2)
+    tf = build_transforms((32, 32), augment=False)
+    SegmentationDataset(root, tf, (32, 32), cache="disk")
+    cdir = os.path.join(root, ".dfc_cache")
+    os.remove(os.path.join(cdir, "imgs_32x32.npy"))
+    ds = SegmentationDataset(root, tf, (32, 32), cache="disk")
+    assert os.path.isfile(os.path.join(cdir, "imgs_32x32.npy"))
+    s = ds.__getitem__(0, rng=np.random.default_rng(0))
+    assert s["image"].shape == (32, 32, 3)

@@ -146,7 +146,8 @@ class DataLoaderFactory:
         self.val_dir = ds["val_dir"].replace("\\", "/")
         self.batch_size = tr["batch_size"]
         self.num_workers = tr.get("num_workers", 2)
-        self.img_size = tuple(ds.get("img_size", [224, 224]))
+        img = ds.get("img_size", [224, 224])
+        self.img_size = (img, img) if isinstance(img, int) else tuple(img)
         self.use_augmentation = ds.get("augmentation", True)
         # decode+resize once into RAM (~200 KB/sample at 224) — makes the
         # 1-core host pipeline outrun every measured training step rate

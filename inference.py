@@ -82,7 +82,8 @@ def main(args):
     import cv2
 
     config = load_config(_norm(args.config))
-    img_size = tuple(config["dataset"].get("img_size", [224, 224]))
+    img = config["dataset"].get("img_size", [224, 224])
+    img_size = (img, img) if isinstance(img, int) else tuple(img)
 
     # --model wins; the config's pretrained_path is the fallback (the
     # reference loads pretrained_path inside get_model, model_factory.py:50-72)

@@ -114,6 +114,8 @@ def main():
 
     config = load_config(args.config)
     img_size = config["dataset"].get("img_size", [224, 224])
+    if isinstance(img_size, int):
+        img_size = [img_size, img_size]
     h = args.height or img_size[0]
     w = args.width or img_size[1]
     c = args.channels or config["model"].get("in_channels", 3)

@@ -250,3 +250,13 @@ def test_disk_cache_rebuilds_when_npy_deleted(tmp_path):
     assert os.path.isfile(os.path.join(cdir, "imgs_32x32.npy"))
     s = ds.__getitem__(0, rng=np.random.default_rng(0))
     assert s["image"].shape == (32, 32, 3)
+
+
+def test_factory_accepts_int_img_size(data_root):
+    from dfc_sa_unet_tpu.data.loader import DataLoaderFactory
+
+    cfg = {"dataset": {"train_dir": data_root, "val_dir": data_root, "img_size": 32},
+           "training": {"batch_size": 4}}
+    loader = DataLoaderFactory(cfg).get_val_loader()
+    batch = next(iter(loader))
+    assert batch["image"].shape[1:] == (32, 32, 3)

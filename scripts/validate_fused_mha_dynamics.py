@@ -59,7 +59,7 @@ def _hard_dice(probs, t):
     return 2 * inter / (pb.sum() + t.sum() + 1e-7)
 
 
-def run(use_pallas, data, img, batch, epochs, f32):
+def run(use_pallas, data, img, batch, epochs, f32, perturb=0.0):
     import jax
     import jax.numpy as jnp
 
@@ -77,6 +77,12 @@ def run(use_pallas, data, img, batch, epochs, f32):
     # the param structure (only the apply math)
     variables = model.init(jax.random.key(0), jnp.zeros((1, img, img, 3), dtype), train=False)
     params, batch_stats = variables["params"], variables["batch_stats"]
+    if perturb:
+        # noise-floor calibration: same math (lax side), init nudged by a
+        # relative epsilon — the divergence this produces over E epochs is
+        # the chaotic-SGD noise floor any forward-value change (e.g. the
+        # fused kernel's accumulation order) is compared against
+        params = jax.tree.map(lambda p: p * (1.0 + perturb), params)
     tx = optim.sgd_with_clip(LR, MOMENTUM, WD, clip_norm=CLIP)
     opt_state = tx.init(params)
 
@@ -132,23 +138,34 @@ def main():
     ap.add_argument("--side", choices=["both", "lax", "fused"], default="both",
                     help="run one side only (smoke tests; CPU interpret-mode "
                          "Pallas is too slow for the fused side)")
+    ap.add_argument("--perturb", type=float, default=0.0,
+                    help="noise-floor mode: run the LAX side twice — exact "
+                         "init vs init*(1+eps) — to calibrate how far chaotic "
+                         "SGD drifts from a forward perturbation of this size")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "docs", "validation", "fused_mha_dynamics.csv"))
     args = ap.parse_args()
 
     data = make_batches(args.img, args.n_train, args.n_val, args.epochs)
-    if args.side != "both":
+    if args.perturb:
+        lax_rows = run(False, data, args.img, args.batch, args.epochs, args.f32)
+        fused_rows = run(False, data, args.img, args.batch, args.epochs, args.f32,
+                         perturb=args.perturb)
+    elif args.side != "both":
         rows = run(args.side == "fused", data, args.img, args.batch, args.epochs, args.f32)
         print(f"[{args.side}] final: loss {rows[-1, 1]:.4f} val_dice {rows[-1, 2]:.4f}")
         return
-    lax_rows = run(False, data, args.img, args.batch, args.epochs, args.f32)
-    fused_rows = run(True, data, args.img, args.batch, args.epochs, args.f32)
+    else:
+        lax_rows = run(False, data, args.img, args.batch, args.epochs, args.f32)
+        fused_rows = run(True, data, args.img, args.batch, args.epochs, args.f32)
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     combined = np.column_stack([lax_rows, fused_rows[:, 1:]])
+    b_tag = f"lax_perturbed{args.perturb:g}" if args.perturb else "fused"
     np.savetxt(args.out, combined, delimiter=",",
-               header="epoch,lax_loss,lax_val_dice,fused_loss,fused_val_dice", comments="")
+               header=f"epoch,lax_loss,lax_val_dice,{b_tag}_loss,{b_tag}_val_dice",
+               comments="")
     d_loss = np.abs(lax_rows[:, 1] - fused_rows[:, 1]).max()
     d_dice = np.abs(lax_rows[:, 2] - fused_rows[:, 2]).max()
     print(f"max |Δtrain_loss| = {d_loss:.6f}   max |Δval_dice| = {d_dice:.6f}")

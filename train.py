@@ -52,7 +52,12 @@ def main():
     parser.add_argument("--use_pallas", action="store_true",
                         help="fused Pallas attention kernels (DFC pooled attention; "
                              "transformer MHA — the MHA falls back to lax when "
-                             "attention dropout is active in training)")
+                             "attention dropout is active in training). Default ON "
+                             "for bf16 TransUNet training (its attention dropout is "
+                             "0, measured +14%% at B=128, training dynamics within "
+                             "the float-noise floor — docs/validation/)")
+    parser.add_argument("--no_pallas", action="store_true",
+                        help="disable the bf16 TransUNet fused-MHA training default")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--exe_cache", type=str, default=None,
                         help="directory for compiled train-step caching (skips the "
@@ -103,8 +108,23 @@ def main():
     train_loader = factory.get_train_loader(drop_last=mesh is not None)
     val_loader = factory.get_val_loader()
 
+    # bf16 training default for TransUNet: its attention_dropout_rate is 0.0
+    # (reference models/transformer_unet.py:318-342), so the fused Pallas MHA
+    # stays active in training (+14% at B=128, PERF.md round 3); the 12-epoch
+    # dynamics A/B diverges less than a 1e-7 init perturbation of the lax
+    # path itself (docs/validation/fused_mha_*.csv).  ViT-seg trains with
+    # attention dropout 0.1 (the kernel would fall back to lax anyway) and
+    # keeps the lax default; f32 keeps the bit-parity lax path everywhere.
+    use_pallas = args.use_pallas or (
+        args.bf16
+        and not args.no_pallas
+        and config["model"].get("name") in ("TransformerUNet", "TransUNet")
+    )
+    if use_pallas and not args.use_pallas:
+        print("Fused Pallas MHA enabled (bf16 TransUNet training default; "
+              "--no_pallas disables)")
     model, pretrained = ModelFactory.get_model_and_variables(
-        config, dtype=dtype, remat=args.remat, use_pallas=args.use_pallas)
+        config, dtype=dtype, remat=args.remat, use_pallas=use_pallas)
     if pretrained is not None:
         print(f"Warm-starting from pretrained weights: {config['model']['pretrained_path']}")
     trainer = Trainer(

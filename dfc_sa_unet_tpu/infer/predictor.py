@@ -120,11 +120,25 @@ class Predictor:
         # eval mode (BN uses running stats), so sharded probabilities are
         # exactly the single-device values and host-side stitching /
         # metric accumulation is unchanged.
+        # With a 2-D ('data', 'spatial') mesh (parallel.mesh.serving_mesh),
+        # image ROWS are sharded too: XLA inserts the conv halo exchanges
+        # and pooled-attention reductions (collective-permute / all-reduce
+        # over ICI) automatically, and the sharded forward matches
+        # single-device to f32 noise — one large image can be served
+        # exactly (no tile seams) across chips whose individual HBM its
+        # activations would exceed.  Heights not divisible by the spatial
+        # axis fall back to data-only sharding for that shape.
         self.mesh = mesh
+        self._n_data = self._n_spatial = 1
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
-            self._data_sharding = NamedSharding(mesh, PartitionSpec("data"))
+            self._n_data = mesh.shape.get("data", 1)
+            self._n_spatial = mesh.shape.get("spatial", 1)
+            spec = (PartitionSpec("data", "spatial") if self._n_spatial > 1
+                    else PartitionSpec("data"))
+            self._data_sharding = NamedSharding(mesh, spec)
+            self._batch_only_sharding = NamedSharding(mesh, PartitionSpec("data"))
             self._replicated = NamedSharding(mesh, PartitionSpec())
             self.variables = jax.device_put(self.variables, self._replicated)
         # Executable cache (utils/exe_cache): skips the 380-930 s first
@@ -181,13 +195,20 @@ class Predictor:
         bypassing the 64/128 batch-shape policy."""
         n = images_u8.shape[0]
         if self.mesh is not None:
-            n_dev = self.mesh.devices.size
-            if n % n_dev != 0:
-                # batch must divide the mesh: zero-pad and discard (eval-mode
-                # forward is per-sample independent, so padding is inert)
-                pad = np.zeros(((-n) % n_dev, *images_u8.shape[1:]), dtype=np.uint8)
+            if n % self._n_data != 0:
+                # batch must divide the mesh's data axis: zero-pad and discard
+                # (eval-mode forward is per-sample independent, so padding is
+                # inert)
+                pad = np.zeros(((-n) % self._n_data, *images_u8.shape[1:]), dtype=np.uint8)
                 images_u8 = np.concatenate([images_u8, pad])
-            images_u8 = jax.device_put(jnp.asarray(images_u8), self._data_sharding)
+            sharding = self._data_sharding
+            if self._n_spatial > 1 and images_u8.shape[1] % self._n_spatial != 0:
+                # padding H would change the conv math at the bottom edge —
+                # stay exact and shard the batch dim only for this shape
+                print(f"(spatial={self._n_spatial} does not divide H="
+                      f"{images_u8.shape[1]}; sharding batch only)")
+                sharding = self._batch_only_sharding
+            images_u8 = jax.device_put(jnp.asarray(images_u8), sharding)
         else:
             images_u8 = jnp.asarray(images_u8)
         if self.exe_cache_dir is not None:
@@ -198,7 +219,8 @@ class Predictor:
                 from dfc_sa_unet_tpu.utils.exe_cache import cached_compile
 
                 mh = hashlib.sha1(repr(self.model).encode()).hexdigest()[:12]
-                dp = f":dp{self.mesh.devices.size}" if self.mesh is not None else ""
+                dp = (f":dp{self._n_data}x{self._n_spatial}"
+                      if self.mesh is not None else "")
                 self._compiled[key] = cached_compile(
                     self._forward_u8, self.exe_cache_dir,
                     f"{type(self.model).__name__}:{mh}:{jnp.dtype(self.compute_dtype).name}{dp}",

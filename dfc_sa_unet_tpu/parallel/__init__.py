@@ -1,7 +1,8 @@
 from dfc_sa_unet_tpu.parallel.mesh import (
     data_parallel_mesh,
     replicate,
+    serving_mesh,
     shard_batch,
 )
 
-__all__ = ["data_parallel_mesh", "replicate", "shard_batch"]
+__all__ = ["data_parallel_mesh", "replicate", "serving_mesh", "shard_batch"]

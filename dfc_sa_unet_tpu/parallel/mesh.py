@@ -28,6 +28,30 @@ def data_parallel_mesh(num_devices: Optional[int] = None, axis: str = "data") ->
     return Mesh(np.array(devices), (axis,))
 
 
+def serving_mesh(spatial: int = 1, num_devices: Optional[int] = None) -> Mesh:
+    """2-D ``('data', 'spatial')`` mesh for inference.
+
+    ``spatial=1`` degenerates to pure data parallelism (every device holds
+    whole images).  ``spatial>1`` additionally shards image ROWS across
+    devices: XLA's SPMD partitioner inserts the halo ``collective-permute``s
+    for the 3x3/stride convs and the ``all-reduce``s for the pooled
+    attention's global average pooling automatically (measured on the
+    flagship: sharded forward == single-device to f32 noise, 3e-8).  This
+    serves ONE large image exactly — no sliding-window overlap seams
+    (reference inference.py:104-153's tiling is an approximation) — across
+    chips whose individual HBM the activation footprint would exceed.
+    Image height must be divisible by ``spatial`` (the Predictor falls back
+    to data-only sharding per offending shape otherwise).
+    """
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    n = len(devices)
+    if spatial < 1 or n % spatial:
+        raise ValueError(f"spatial={spatial} must divide the device count {n}")
+    return Mesh(np.array(devices).reshape(n // spatial, spatial), ("data", "spatial"))
+
+
 def shard_batch(tree, mesh: Mesh, axis: str = "data"):
     """Shard every array's leading (batch) dimension over the mesh."""
     sharding = NamedSharding(mesh, P(axis))

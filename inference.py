@@ -183,7 +183,21 @@ def main(args):
                 salt_tree["scales"] = dict(engine.act_scales)
             cache_salt = ("int8:" if args.int8 else "engine:") + tree_fingerprint(salt_tree)
     mesh = None
-    if args.data_parallel:
+    if args.spatial_parallel > 1:
+        devices = jax.devices()
+        if len(devices) % args.spatial_parallel == 0 and len(devices) > 1:
+            from dfc_sa_unet_tpu.parallel import serving_mesh
+
+            mesh = serving_mesh(spatial=args.spatial_parallel)
+            print(f"2-D serving mesh over {len(devices)} devices: "
+                  f"data={mesh.shape['data']} x spatial={args.spatial_parallel} "
+                  f"(image rows shard too — XLA inserts conv halo exchanges; "
+                  f"exact, no tile seams).")
+        else:
+            print(f"(--spatial_parallel {args.spatial_parallel}: needs a multiple "
+                  f"of {args.spatial_parallel} devices, have {len(devices)}; "
+                  f"running single-chip)")
+    elif args.data_parallel:
         devices = jax.devices()
         if len(devices) > 1:
             from dfc_sa_unet_tpu.parallel import data_parallel_mesh
@@ -361,4 +375,12 @@ if __name__ == "__main__":
     parser.add_argument("--data_parallel", action="store_true",
                         help="shard prediction batches over all visible devices "
                              "(1-D 'data' mesh; exact-match with single-chip)")
+    parser.add_argument("--spatial_parallel", type=int, default=1,
+                        help="additionally shard image ROWS over this many devices "
+                             "(2-D data x spatial mesh) — serves one large image "
+                             "exactly across chips (no sliding-window seams; XLA "
+                             "inserts the conv halo exchanges); best with "
+                             "--no_slide_window on images whose activations "
+                             "exceed one chip's HBM. Height must be divisible "
+                             "by this factor (else batch-only sharding)")
     main(parser.parse_args())

@@ -244,3 +244,85 @@ def test_mesh_size_not_dividing_128_terminates(setup):
     # and a small non-divisible batch (n=7 over 6 devices)
     np.testing.assert_allclose(pm.predict_probs(imgs[:7]), p1.predict_probs(imgs[:7]),
                                atol=1e-6, rtol=1e-6)
+
+
+def test_spatial_sharded_predictor_matches_single_device(setup):
+    """Predictor over a 2-D ('data','spatial') mesh: image rows shard too
+    (XLA inserts the conv halo exchanges), and the probabilities equal the
+    single-device values.  Guards `inference.py --spatial_parallel`."""
+    from dfc_sa_unet_tpu.infer.predictor import Predictor
+    from dfc_sa_unet_tpu.parallel import serving_mesh
+
+    cfg, loader, batch, _ = setup
+    model = _MiniNet()
+    variables = model.init(
+        jax.random.key(4), jnp.zeros((1, 16, 16, 3), jnp.float32), train=False
+    )
+    imgs = np.asarray(batch["image"])  # [8, 16, 16, 3] u8
+    p1 = Predictor(model, variables)
+    pm = Predictor(model, variables, mesh=serving_mesh(spatial=4))  # 2 x 4
+    want = p1.predict_probs(imgs)
+    got = pm.predict_probs(imgs)
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-6)
+    # non-divisible batch still pads on the data axis only (8 -> data 2)
+    np.testing.assert_allclose(pm.predict_probs(imgs[:3]), want[:3],
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_spatial_non_divisible_height_falls_back_exactly(setup):
+    """H=12 over spatial=8 cannot shard rows without changing the conv
+    math at the padded edge; the Predictor must fall back to batch-only
+    sharding for that shape and stay exact."""
+    from dfc_sa_unet_tpu.infer.predictor import Predictor
+    from dfc_sa_unet_tpu.parallel import serving_mesh
+
+    cfg, loader, batch, _ = setup
+    model = _MiniNet()
+    variables = model.init(
+        jax.random.key(5), jnp.zeros((1, 12, 16, 3), jnp.float32), train=False
+    )
+    imgs = np.asarray(batch["image"])[:, :12]  # [8, 12, 16, 3]
+    p1 = Predictor(model, variables)
+    pm = Predictor(model, variables, mesh=serving_mesh(spatial=8))  # 1 x 8
+    np.testing.assert_allclose(pm.predict_probs(imgs), p1.predict_probs(imgs),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_spatial_sharded_flagship_exact_with_halo_exchange():
+    """The full DFC-SA flagship under a ('data','spatial') mesh: the
+    forward must be partitioned (collective-permute halo exchanges in the
+    compiled HLO — i.e. XLA really sharded the rows rather than gathering)
+    and bit-close to single-device.  This is the whole-large-image serving
+    path: one image's rows spread across chips, no sliding-window seams."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dfc_sa_unet_tpu.models.factory import create_model
+    from dfc_sa_unet_tpu.parallel import serving_mesh
+
+    cfg = {"model": {"name": "DFC-SA-Res-Block", "in_channels": 3, "out_channels": 1,
+                     "features": [4, 8, 12, 16], "pool_size": 2}}
+    model = create_model(cfg)
+    x = jnp.asarray(np.random.default_rng(6).uniform(-1, 1, (2, 32, 32, 3)), jnp.float32)
+    variables = model.init(jax.random.key(6), x, train=False)
+
+    fn = jax.jit(lambda v, t: model.apply(v, t, train=False))
+    want = np.asarray(fn(variables, x))
+
+    mesh = serving_mesh(spatial=4)  # 2 x 4
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", "spatial")))
+    vs = jax.device_put(variables, NamedSharding(mesh, P()))
+    got = fn(vs, xs)
+    assert len(got.sharding.device_set) == 8, got.sharding
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5, rtol=1e-5)
+
+    hlo = fn.lower(vs, xs).compile().as_text()
+    assert "collective-permute" in hlo, "expected conv halo exchanges"
+
+
+def test_serving_mesh_validates_divisibility():
+    from dfc_sa_unet_tpu.parallel import serving_mesh
+
+    with pytest.raises(ValueError):
+        serving_mesh(spatial=3)  # 8 % 3 != 0
+    m = serving_mesh(spatial=2)
+    assert m.shape == {"data": 4, "spatial": 2}

@@ -137,7 +137,19 @@ class Trainer:
         self._train_step_cached = None
 
         if self.mesh is not None:
-            self._data_sharding = jax.sharding.NamedSharding(
+            # 1-D 'data' mesh: batches shard on the batch dim.  A 2-D
+            # ('data','spatial') mesh (parallel.mesh.serving_mesh) also
+            # shards image ROWS — XLA inserts the conv halo exchanges and
+            # all-reduces BN batch statistics across both axes, so large
+            # crops whose activations exceed one chip's HBM can train
+            # exactly (tests pin 2-D step == single-device).
+            self._n_data = self.mesh.shape.get("data", 1)
+            self._n_spatial = self.mesh.shape.get("spatial", 1)
+            spec = (jax.sharding.PartitionSpec("data", "spatial")
+                    if self._n_spatial > 1 else jax.sharding.PartitionSpec("data"))
+            self._data_sharding = jax.sharding.NamedSharding(self.mesh, spec)
+            # [B]-shaped arrays (validity masks) shard on 'data' only
+            self._vec_sharding = jax.sharding.NamedSharding(
                 self.mesh, jax.sharding.PartitionSpec("data")
             )
             self._replicated = jax.sharding.NamedSharding(
@@ -307,7 +319,7 @@ class Trainer:
         masks = jnp.asarray(batch["mask"])
         valid = None
         if self._data_sharding is not None:
-            n_dev = self.mesh.devices.size
+            n_dev = self._n_data
             n = imgs.shape[0]
             if n % n_dev != 0:
                 if pad_to_devices:
@@ -331,10 +343,20 @@ class Trainer:
                             f"of {n_dev} to avoid this."
                         )
                     return imgs, masks, None
-            imgs = jax.device_put(imgs, self._data_sharding)
-            masks = jax.device_put(masks, self._data_sharding)
+            sharding = self._data_sharding
+            if self._n_spatial > 1 and imgs.shape[1] % self._n_spatial != 0:
+                # padding rows would perturb the bottom-edge conv math and
+                # the BN statistics — stay exact, shard the batch dim only
+                if not getattr(self, "_warned_spatial", False):
+                    self._warned_spatial = True
+                    print(f"Warning: image height {imgs.shape[1]} is not divisible "
+                          f"by the mesh's spatial axis ({self._n_spatial}); "
+                          f"sharding the batch dimension only.")
+                sharding = self._vec_sharding
+            imgs = jax.device_put(imgs, sharding)
+            masks = jax.device_put(masks, sharding)
             if valid is not None:
-                valid = jax.device_put(valid, self._data_sharding)
+                valid = jax.device_put(valid, self._vec_sharding)
         return imgs, masks, valid
 
     # ---------------------------------------------------------------- epochs

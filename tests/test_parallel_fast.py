@@ -326,3 +326,58 @@ def test_serving_mesh_validates_divisibility():
         serving_mesh(spatial=3)  # 8 % 3 != 0
     m = serving_mesh(spatial=2)
     assert m.shape == {"data": 4, "spatial": 2}
+
+
+def test_spatial_sharded_train_step_matches_single_device(setup):
+    """2-D ('data','spatial') mesh training: one step with image rows
+    sharded across devices must equal the single-device step — XLA's halo
+    exchanges and cross-axis BN statistic all-reduces keep the math
+    global.  Guards `train.py --spatial_parallel`."""
+    from dfc_sa_unet_tpu.parallel import serving_mesh
+
+    cfg, loader, batch, _ = setup
+    model = _MiniNet()
+
+    t1 = Trainer(model, loader, loader, cfg, mesh=None, seed=0)
+    s1 = t1.init_state(batch)
+    s1n, m1 = t1._train_step(s1, jnp.asarray(batch["image"]), jnp.asarray(batch["mask"]))
+
+    mesh = serving_mesh(spatial=4)  # 2 x 4
+    t2d = Trainer(model, loader, loader, cfg, mesh=mesh, seed=0)
+    s2d = t2d.init_state(batch)
+    imgs, masks, valid = t2d._put_batch(batch)
+    assert valid is None
+    assert len(imgs.sharding.device_set) == 8, imgs.sharding
+    # rows really shard: each device holds 16/4 = 4 rows of 8/2 = 4 images
+    assert imgs.addressable_shards[0].data.shape[:2] == (4, 4)
+    s2dn, m2d = t2d._train_step(s2d, imgs, masks)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2d["loss"]), atol=1e-5, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1n.params), jax.tree.leaves(s2dn.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(s1n.batch_stats), jax.tree.leaves(s2dn.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
+
+
+def test_spatial_train_non_divisible_height_falls_back(setup):
+    """H=12 over spatial=8: _put_batch must shard the batch dim only (not
+    pad rows — that would perturb edge convs and BN stats) and stay exact."""
+    from dfc_sa_unet_tpu.parallel import serving_mesh
+
+    cfg, loader, batch, _ = setup
+    model = _MiniNet()
+    small = {"image": np.asarray(batch["image"])[:, :12],
+             "mask": np.asarray(batch["mask"])[:, :12]}
+
+    t1 = Trainer(model, loader, loader, cfg, mesh=None, seed=0)
+    s1 = t1.init_state(small)
+    _, m1 = t1._train_step(s1, jnp.asarray(small["image"]), jnp.asarray(small["mask"]))
+
+    t2d = Trainer(model, loader, loader, cfg, mesh=serving_mesh(spatial=8), seed=0)
+    s2d = t2d.init_state(small)
+    imgs, masks, _ = t2d._put_batch(small)
+    # data axis is 1 on a 1x8 mesh: the fallback replicates (full batch,
+    # full height per device) rather than padding rows
+    assert imgs.addressable_shards[0].data.shape[:2] == (8, 12)
+    _, m2d = t2d._train_step(s2d, imgs, masks)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2d["loss"]), atol=1e-5, rtol=1e-5)

@@ -49,6 +49,13 @@ def main():
              "block / ResNet unit / decoder block)",
     )
     parser.add_argument("--data_parallel", action="store_true", help="Shard batches over all devices")
+    parser.add_argument("--spatial_parallel", type=int, default=1,
+                        help="additionally shard image ROWS over this many devices "
+                             "(2-D data x spatial mesh) — trains crops whose "
+                             "activations exceed one chip's HBM, exactly (XLA "
+                             "inserts conv halo exchanges and cross-device BN "
+                             "statistic reductions). Height must be divisible "
+                             "by this factor")
     parser.add_argument("--use_pallas", action="store_true",
                         help="fused Pallas attention kernels (DFC pooled attention; "
                              "transformer MHA — the MHA falls back to lax when "
@@ -100,7 +107,18 @@ def main():
     devices = jax.devices()
     print(f"Devices: {devices}")
     mesh = None
-    if args.data_parallel and len(devices) > 1:
+    if args.spatial_parallel > 1:
+        if len(devices) % args.spatial_parallel == 0 and len(devices) > 1:
+            from dfc_sa_unet_tpu.parallel import serving_mesh
+
+            mesh = serving_mesh(spatial=args.spatial_parallel)
+            print(f"2-D training mesh: data={mesh.shape['data']} x "
+                  f"spatial={args.spatial_parallel} over {len(devices)} devices")
+        else:
+            print(f"(--spatial_parallel {args.spatial_parallel}: needs a multiple "
+                  f"of {args.spatial_parallel} devices, have {len(devices)}; "
+                  f"running single-chip)")
+    elif args.data_parallel and len(devices) > 1:
         mesh = jax.sharding.Mesh(devices, ("data",))
         print(f"Data-parallel over {len(devices)} devices")
 

@@ -381,3 +381,28 @@ def test_spatial_train_non_divisible_height_falls_back(setup):
     assert imgs.addressable_shards[0].data.shape[:2] == (8, 12)
     _, m2d = t2d._train_step(s2d, imgs, masks)
     np.testing.assert_allclose(float(m1["loss"]), float(m2d["loss"]), atol=1e-5, rtol=1e-5)
+
+
+def test_vit_seg_fused_under_spatial_mesh_exact():
+    """--spatial_parallel with a transformer family: the patch conv's rows
+    shard (halo exchange); the token-dim operations and the fused Pallas
+    MHA are replicated/gathered by GSPMD as needed — values must equal
+    single-device (guards the --bf16 --spatial_parallel composition)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dfc_sa_unet_tpu.models.vit_seg import VisionTransformerForSegmentation
+    from dfc_sa_unet_tpu.parallel import serving_mesh
+
+    kw = dict(img_dim=32, patch_dim=8, in_channels=3, num_classes=1,
+              embed_dim=32, num_layers=2, num_heads=4, mlp_dim=64,
+              dropout=0.0, upsample_layers=3, use_pallas=True)
+    m = VisionTransformerForSegmentation(**kw)
+    x = jnp.asarray(np.random.default_rng(7).uniform(-1, 1, (2, 32, 32, 3)), jnp.float32)
+    v = m.init(jax.random.key(7), x, train=False)
+    fn = jax.jit(lambda v, t: m.apply(v, t, train=False))
+    want = np.asarray(fn(v, x))
+
+    mesh = serving_mesh(spatial=4)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", "spatial")))
+    vs = jax.device_put(v, NamedSharding(mesh, P()))
+    np.testing.assert_allclose(np.asarray(fn(vs, xs)), want, atol=1e-6, rtol=1e-6)

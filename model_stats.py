@@ -89,17 +89,31 @@ def forward_summary(model, variables, x):
 
 
 def model_flops(model, variables, x):
+    """(flops, activation_memory_stats) from XLA's own cost model and
+    buffer assignment.  Activation memory (the compiled executable's temp
+    buffers) is what actually bounds batch size / image size on a chip —
+    the reference's model_stats reports only params+FLOPs; this is the
+    number that explains OOMs and what --spatial_parallel divides
+    (PERF.md spatial-sharding entry)."""
+
     def fwd(v, x):
         return model.apply(v, x, train=False)
 
     lowered = jax.jit(fwd).lower(variables, x)
+    mem = None
     try:
-        cost = lowered.compile().cost_analysis()
+        compiled = lowered.compile()
+        cost = compiled.cost_analysis()
+        ma = compiled.memory_analysis()
+        if ma is not None:
+            mem = {"activations_mb": ma.temp_size_in_bytes / 2**20,
+                   "arguments_mb": ma.argument_size_in_bytes / 2**20,
+                   "output_mb": ma.output_size_in_bytes / 2**20}
     except Exception:
         cost = lowered.cost_analysis()
     if isinstance(cost, list):
         cost = cost[0]
-    return float(cost.get("flops", float("nan"))) if cost else float("nan")
+    return (float(cost.get("flops", float("nan"))) if cost else float("nan")), mem
 
 
 def main():
@@ -129,7 +143,7 @@ def main():
     summary_rows = forward_summary(model, variables, x)
     n_stats = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(variables.get("batch_stats", {})))
     size_mb = (total + n_stats) * 4 / (1024 ** 2)
-    flops = model_flops(model, variables, x)
+    flops, mem = model_flops(model, variables, x)
     macs = flops / 2.0  # one MAC = 2 FLOPs
 
     name = config["model"]["name"]
@@ -149,6 +163,16 @@ def main():
         f"Model size: {size_mb:.2f} MB (float32)",
         f"FLOPs (per forward, XLA cost model): {flops:,.0f} ({flops / 1e9:.2f} GFLOPs)",
         f"MACs: {macs:,.0f} ({macs / 1e9:.2f} GMACs)",
+    ]
+    if mem is not None:
+        lines += [
+            f"Activation memory (XLA temp buffers, this batch/size/dtype): "
+            f"{mem['activations_mb']:.1f} MB"
+            f"   [args {mem['arguments_mb']:.1f} MB, output {mem['output_mb']:.1f} MB]",
+            "  (scales ~linearly with batch and H*W; --spatial_parallel N "
+            "divides it ~N-fold across chips)",
+        ]
+    lines += [
         "",
         "Per-leaf-module parameters (reference model_stats.py:15-36):",
         f"{'Leaf module':<55}{'Params':>15}",
@@ -182,6 +206,8 @@ def main():
         writer.writerow(["flops", int(flops) if np.isfinite(flops) else ""])
         writer.writerow(["macs", int(macs) if np.isfinite(macs) else ""])
         writer.writerow(["size_mb", f"{size_mb:.2f}"])
+        if mem is not None:
+            writer.writerow(["activation_mb", f"{mem['activations_mb']:.1f}"])
 
     with open(base + "_layers.csv", "w", newline="") as f:
         writer = csv.writer(f)

@@ -344,7 +344,29 @@ class Trainer:
                         )
                     return imgs, masks, None
             sharding = self._data_sharding
-            if self._n_spatial > 1 and imgs.shape[1] % self._n_spatial != 0:
+            if (self._n_spatial > 1 and self._n_data > 1
+                    and self.grad_accum > 1 and not pad_to_devices):
+                # XLA GSPMD miscompile (jax/jaxlib 0.9.0): splitting the
+                # batch dim of an array sharded ('data','spatial') — the
+                # grad-accum [B,...] -> [accum, B/accum, ...] reshape —
+                # makes every downstream conv WEIGHT gradient come out
+                # exactly min(accum, data-axis-size) times the true value
+                # (forward values, batch-only runs, and spatial-ONLY runs
+                # — data axis 1, verified for accum 2 and 4 — are all
+                # exact; scan vs unrolled makes no difference).  Minimal
+                # repro: scripts/repro_scan_halo_grad.py; numbers in
+                # PERF.md.  Batch-only sharding is exact, so grad-accum
+                # steps fall back to it when BOTH axes are >1, until the
+                # compiler is fixed; a pure-spatial mesh keeps its row
+                # sharding (that is the memory-critical large-crop case).
+                if not getattr(self, "_warned_spatial_accum", False):
+                    self._warned_spatial_accum = True
+                    print("Warning: grad_accum under a 2-D (data x spatial) mesh "
+                          "hits an XLA reshape+halo gradient miscompile (conv "
+                          "weight grads scaled min(accum, data_axis)x); sharding "
+                          "the batch dimension only for training steps.")
+                sharding = self._vec_sharding
+            elif self._n_spatial > 1 and imgs.shape[1] % self._n_spatial != 0:
                 # padding rows would perturb the bottom-edge conv math and
                 # the BN statistics — stay exact, shard the batch dim only
                 if not getattr(self, "_warned_spatial", False):

@@ -383,6 +383,56 @@ def test_spatial_train_non_divisible_height_falls_back(setup):
     np.testing.assert_allclose(float(m1["loss"]), float(m2d["loss"]), atol=1e-5, rtol=1e-5)
 
 
+def test_grad_accum_under_spatial_mesh_falls_back_and_matches(setup):
+    """grad_accum>1 under a ('data','spatial') mesh hits an XLA GSPMD
+    reshape+halo weight-gradient miscompile (conv weight grads scaled
+    exactly min(accum, data_axis)x; minimal repro:
+    scripts/repro_scan_halo_grad.py).  _put_batch must fall back to
+    batch-only sharding for training steps and stay exact vs the
+    single-device grad-accum step."""
+    import copy
+
+    from dfc_sa_unet_tpu.parallel import serving_mesh
+
+    cfg, loader, batch, _ = setup
+    cfg = copy.deepcopy(cfg)
+    cfg["training"]["grad_accum"] = 2
+    model = _MiniNet()
+
+    t1 = Trainer(model, loader, loader, cfg, mesh=None, seed=0)
+    s1 = t1.init_state(batch)
+    s1n, m1 = t1._train_step(s1, jnp.asarray(batch["image"]), jnp.asarray(batch["mask"]))
+
+    t2d = Trainer(model, loader, loader, cfg, mesh=serving_mesh(spatial=4), seed=0)
+    assert t2d.grad_accum == 2
+    s2d = t2d.init_state(batch)
+    imgs, masks, valid = t2d._put_batch(batch)
+    assert valid is None
+    # the fallback shards the batch dim only: each device holds full-height
+    # images (8 imgs / data-axis 2 = 4 each), NOT 16/4 = 4 rows
+    assert imgs.addressable_shards[0].data.shape[1] == 16, imgs.sharding
+    s2dn, m2d = t2d._train_step(s2d, imgs, masks)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2d["loss"]), atol=1e-5, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1n.params), jax.tree.leaves(s2dn.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(s1n.batch_stats), jax.tree.leaves(s2dn.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
+
+    # a pure-spatial mesh (data axis 1) is NOT affected — the miscompile
+    # factor is min(accum, data_axis) — so it must KEEP its row sharding
+    # (the memory-critical large-crop case) and still match exactly
+    tsp = Trainer(model, loader, loader, cfg, mesh=serving_mesh(spatial=8), seed=0)
+    ssp = tsp.init_state(batch)
+    imgs, masks, valid = tsp._put_batch(batch)
+    assert valid is None
+    assert imgs.addressable_shards[0].data.shape[1] == 2, imgs.sharding  # 16 rows / 8
+    sspn, msp = tsp._train_step(ssp, imgs, masks)
+    np.testing.assert_allclose(float(m1["loss"]), float(msp["loss"]), atol=1e-5, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1n.params), jax.tree.leaves(sspn.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
+
+
 def test_vit_seg_fused_under_spatial_mesh_exact():
     """--spatial_parallel with a transformer family: the patch conv's rows
     shard (halo exchange); the token-dim operations and the fused Pallas

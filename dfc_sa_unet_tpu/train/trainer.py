@@ -266,6 +266,27 @@ class Trainer:
             bsz = x.shape[0]
             xm = x.reshape(accum, bsz // accum, *x.shape[1:])
             tm = t.reshape(accum, bsz // accum, *t.shape[1:])
+            if self.mesh is not None:
+                # Pin the microbatch sharding explicitly.  Left to GSPMD
+                # propagation, the [B,...] -> [accum, B/accum, ...] reshape
+                # of a ('data','spatial')-sharded batch miscompiles on
+                # jax/jaxlib 0.9.0: every conv WEIGHT gradient comes out
+                # exactly min(accum, data_axis) times the true value
+                # (minimal repro: scripts/repro_scan_halo_grad.py; numbers
+                # in PERF.md).  An explicit with_sharding_constraint on the
+                # reshaped array restores exact gradients — verified for
+                # accum 2/4, meshes 4x2/2x4, and through BN-style batch
+                # statistics.  Specs mirror _put_batch's divisibility
+                # rules (all shapes are static at trace time).
+                data_ax = ("data" if self._n_data > 1
+                           and (bsz // accum) % self._n_data == 0 else None)
+                sp_ax = ("spatial" if self._n_spatial > 1
+                         and x.shape[1] % self._n_spatial == 0 else None)
+                micro_sh = jax.sharding.NamedSharding(
+                    self.mesh, jax.sharding.PartitionSpec(None, data_ax, sp_ax)
+                )
+                xm = jax.lax.with_sharding_constraint(xm, micro_sh)
+                tm = jax.lax.with_sharding_constraint(tm, micro_sh)
 
             def micro(carry, inp):
                 stats, gacc = carry
@@ -344,29 +365,7 @@ class Trainer:
                         )
                     return imgs, masks, None
             sharding = self._data_sharding
-            if (self._n_spatial > 1 and self._n_data > 1
-                    and self.grad_accum > 1 and not pad_to_devices):
-                # XLA GSPMD miscompile (jax/jaxlib 0.9.0): splitting the
-                # batch dim of an array sharded ('data','spatial') — the
-                # grad-accum [B,...] -> [accum, B/accum, ...] reshape —
-                # makes every downstream conv WEIGHT gradient come out
-                # exactly min(accum, data-axis-size) times the true value
-                # (forward values, batch-only runs, and spatial-ONLY runs
-                # — data axis 1, verified for accum 2 and 4 — are all
-                # exact; scan vs unrolled makes no difference).  Minimal
-                # repro: scripts/repro_scan_halo_grad.py; numbers in
-                # PERF.md.  Batch-only sharding is exact, so grad-accum
-                # steps fall back to it when BOTH axes are >1, until the
-                # compiler is fixed; a pure-spatial mesh keeps its row
-                # sharding (that is the memory-critical large-crop case).
-                if not getattr(self, "_warned_spatial_accum", False):
-                    self._warned_spatial_accum = True
-                    print("Warning: grad_accum under a 2-D (data x spatial) mesh "
-                          "hits an XLA reshape+halo gradient miscompile (conv "
-                          "weight grads scaled min(accum, data_axis)x); sharding "
-                          "the batch dimension only for training steps.")
-                sharding = self._vec_sharding
-            elif self._n_spatial > 1 and imgs.shape[1] % self._n_spatial != 0:
+            if self._n_spatial > 1 and imgs.shape[1] % self._n_spatial != 0:
                 # padding rows would perturb the bottom-edge conv math and
                 # the BN statistics — stay exact, shard the batch dim only
                 if not getattr(self, "_warned_spatial", False):

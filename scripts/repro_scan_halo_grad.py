@@ -9,10 +9,15 @@ trigger is the microbatch reshape of a ('data','spatial')-sharded array
 combined with the conv halo exchange in the backward pass.  The same
 computation is exact (a) under batch-only sharding, (b) under a
 spatial-ONLY mesh (data axis 1 — consistent with the min(accum,
-data_axis) factor), or (c) on one device.  This is the bug that forces
-``Trainer._put_batch`` to fall back to batch-only sharding for
-grad-accum training steps when both mesh axes are >1 (train/trainer.py);
-pure-spatial meshes keep their row sharding.
+data_axis) factor), or (c) on one device.
+
+THE FIX (shipped in Trainer._step_impl): pin the reshaped array's
+sharding explicitly — ``with_sharding_constraint(xm, P(None, 'data',
+'spatial'))`` — instead of leaving it to GSPMD propagation, which infers
+an inconsistent microbatch sharding and double-counts the weight-grad
+all-reduce.  The pinned form is exact for accum 2/4, meshes 4x2/2x4,
+and through BN-style batch statistics (the last row below; constraint
+inside the scan body works equally).
 
 Run: python scripts/repro_scan_halo_grad.py   (forces 8 virtual CPU devices)
 """
@@ -59,6 +64,27 @@ def grad_unrolled(w, x):
     return g
 
 
+def make_grad_pinned(mesh):
+    """The fix: pin the microbatch sharding instead of trusting GSPMD's
+    propagation through the reshape (exact on every axis combination)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P(None, "data", "spatial"))
+
+    def grad_pinned(w, x):
+        xm = x.reshape(ACCUM, x.shape[0] // ACCUM, *x.shape[1:])
+        xm = jax.lax.with_sharding_constraint(xm, sh)
+
+        def micro(g, xi):
+            gi = jax.grad(lambda w: conv(xi, w).sum())(w)
+            return g + gi, None
+
+        g, _ = jax.lax.scan(micro, jnp.zeros_like(w), xm)
+        return g
+
+    return grad_pinned
+
+
 def main():
     rng = np.random.RandomState(0)
     b, h, wdt, c, k = 8, 16, 16, 3, 5
@@ -80,6 +106,7 @@ def main():
         ("scan   + 1-D mesh (batch only)", sh1d, grad_scan),
         ("scan   + spatial-only (rows) ", shsp, grad_scan),
         ("unroll + 2-D mesh (H sharded)", sh2d, grad_unrolled),
+        ("PINNED + 2-D mesh (the fix)  ", sh2d, make_grad_pinned(mesh2d)),
     ]:
         xs = jax.device_put(x, sh)
         g = np.asarray(jax.jit(fn)(w, xs))

@@ -383,13 +383,15 @@ def test_spatial_train_non_divisible_height_falls_back(setup):
     np.testing.assert_allclose(float(m1["loss"]), float(m2d["loss"]), atol=1e-5, rtol=1e-5)
 
 
-def test_grad_accum_under_spatial_mesh_falls_back_and_matches(setup):
-    """grad_accum>1 under a ('data','spatial') mesh hits an XLA GSPMD
-    reshape+halo weight-gradient miscompile (conv weight grads scaled
-    exactly min(accum, data_axis)x; minimal repro:
-    scripts/repro_scan_halo_grad.py).  _put_batch must fall back to
-    batch-only sharding for training steps and stay exact vs the
-    single-device grad-accum step."""
+def test_grad_accum_under_spatial_mesh_exact(setup):
+    """grad_accum>1 under a ('data','spatial') mesh: left to GSPMD
+    propagation, the microbatch reshape of the 2-D-sharded batch
+    miscompiles on jax 0.9 (conv weight grads scaled exactly
+    min(accum, data_axis)x; minimal repro:
+    scripts/repro_scan_halo_grad.py).  The train step pins the
+    microbatch sharding with an explicit with_sharding_constraint, so
+    the 2-D mesh KEEPS its row sharding and the gradients match the
+    single-device grad-accum step exactly."""
     import copy
 
     from dfc_sa_unet_tpu.parallel import serving_mesh
@@ -408,9 +410,8 @@ def test_grad_accum_under_spatial_mesh_falls_back_and_matches(setup):
     s2d = t2d.init_state(batch)
     imgs, masks, valid = t2d._put_batch(batch)
     assert valid is None
-    # the fallback shards the batch dim only: each device holds full-height
-    # images (8 imgs / data-axis 2 = 4 each), NOT 16/4 = 4 rows
-    assert imgs.addressable_shards[0].data.shape[1] == 16, imgs.sharding
+    # the 2-D sharding is kept: each device holds 16/4 = 4 image rows
+    assert imgs.addressable_shards[0].data.shape[1] == 4, imgs.sharding
     s2dn, m2d = t2d._train_step(s2d, imgs, masks)
 
     np.testing.assert_allclose(float(m1["loss"]), float(m2d["loss"]), atol=1e-5, rtol=1e-5)

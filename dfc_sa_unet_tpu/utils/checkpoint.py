@@ -12,6 +12,7 @@ Restoring a full state resumes at epoch N+1 with history, optimizer
 momentum and best-metric tracking intact — preemption-safe on TPU VMs.
 """
 
+import json
 import os
 import shutil
 from typing import Any, Mapping, Optional
@@ -19,6 +20,17 @@ from typing import Any, Mapping, Optional
 import jax
 import numpy as np
 import orbax.checkpoint as ocp
+
+# Orbax refuses to serialize zero-size arrays ("Cannot save arrays with
+# zero size").  The model zoo legitimately produces them: LightSelfAttention
+# puts Q/K at C//8 channels, so features[0] < 8 yields 0-channel QK convs
+# (valid math in flax — uniform attention; the torch reference crashes on
+# such configs, so there is no parity constraint).  save_pytree swaps each
+# zero-size leaf for a 1-element placeholder and records the true
+# shape/dtype in a sidecar manifest inside the checkpoint dir;
+# restore_pytree swaps them back (from the template when given, else from
+# the manifest).
+_ZERO_MANIFEST = "zero_size_leaves.json"
 
 
 def _abspath(p: str) -> str:
@@ -29,16 +41,51 @@ def save_pytree(path: str, tree: Mapping[str, Any]):
     path = _abspath(path)
     if os.path.exists(path):
         shutil.rmtree(path)
+    tree = jax.tree.map(np.asarray, tree)
+    zero_leaves = {}
+
+    def _placeholder(key_path, a):
+        if a.size == 0:
+            zero_leaves[jax.tree_util.keystr(key_path)] = [list(a.shape), str(a.dtype)]
+            return np.zeros((1,), a.dtype)
+        return a
+
+    tree = jax.tree_util.tree_map_with_path(_placeholder, tree)
     with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(path, jax.tree.map(np.asarray, tree))
+        ckptr.save(path, tree)
+    if zero_leaves:
+        with open(os.path.join(path, _ZERO_MANIFEST), "w") as f:
+            json.dump(zero_leaves, f)
 
 
 def restore_pytree(path: str, template: Optional[Mapping[str, Any]] = None):
     path = _abspath(path)
     with ocp.PyTreeCheckpointer() as ckptr:
         if template is not None:
-            return ckptr.restore(path, item=jax.tree.map(np.asarray, template))
-        return ckptr.restore(path)
+            template = jax.tree.map(np.asarray, template)
+            placeheld = jax.tree.map(
+                lambda a: np.zeros((1,), a.dtype) if a.size == 0 else a, template
+            )
+            out = ckptr.restore(path, item=placeheld)
+            return jax.tree.map(
+                lambda restored, t: np.zeros(t.shape, t.dtype) if t.size == 0 else restored,
+                out, template,
+            )
+        out = ckptr.restore(path)
+    manifest = os.path.join(path, _ZERO_MANIFEST)
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            zero_leaves = json.load(f)
+
+        def _unswap(key_path, a):
+            entry = zero_leaves.get(jax.tree_util.keystr(key_path))
+            if entry is not None:
+                shape, dtype = entry
+                return np.zeros(shape, dtype)
+            return a
+
+        out = jax.tree_util.tree_map_with_path(_unswap, out)
+    return out
 
 
 def latest_epoch_checkpoint(checkpoint_dir: str) -> Optional[str]:

@@ -62,3 +62,31 @@ def test_denormalize_roundtrip():
     norm = (orig.astype(np.float32) / 255.0 - mean) / std
     back = denormalize_image(norm)
     assert np.abs(back.astype(int) - orig.astype(int)).max() <= 1
+
+
+def test_checkpoint_roundtrips_zero_size_leaves(tmp_path):
+    """Orbax refuses zero-size arrays, but the zoo produces them
+    (LightSelfAttention QK convs at features[0]//8 == 0 channels — e.g.
+    every test config with features=[4,...]); Trainer.save_checkpoint
+    then carries matching zero-size SGD momentum buffers.  save_pytree
+    must placeholder them and restore_pytree must bring them back with
+    the exact shape/dtype — via the template AND via the sidecar
+    manifest (templateless restore is the factory's pretrained path)."""
+    from dfc_sa_unet_tpu.utils.checkpoint import restore_pytree, save_pytree
+
+    tree = {
+        "params": {"q": np.zeros((1, 1, 4, 0), np.float32),
+                   "k": np.arange(6, dtype=np.float32).reshape(2, 3)},
+        "opt_leaves": [np.zeros((0, 2), np.float32), np.ones((3,), np.float32)],
+        "epoch": np.asarray(7),
+    }
+    path = str(tmp_path / "ckpt")
+    save_pytree(path, tree)
+
+    for restored in (restore_pytree(path, template=tree), restore_pytree(path)):
+        assert restored["params"]["q"].shape == (1, 1, 4, 0)
+        assert restored["params"]["q"].dtype == np.float32
+        assert restored["opt_leaves"][0].shape == (0, 2)
+        np.testing.assert_array_equal(restored["params"]["k"], tree["params"]["k"])
+        np.testing.assert_array_equal(restored["opt_leaves"][1], tree["opt_leaves"][1])
+        assert int(restored["epoch"]) == 7

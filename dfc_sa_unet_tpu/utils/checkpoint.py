@@ -60,30 +60,36 @@ def save_pytree(path: str, tree: Mapping[str, Any]):
 
 def restore_pytree(path: str, template: Optional[Mapping[str, Any]] = None):
     path = _abspath(path)
-    with ocp.PyTreeCheckpointer() as ckptr:
-        if template is not None:
-            template = jax.tree.map(np.asarray, template)
-            placeheld = jax.tree.map(
-                lambda a: np.zeros((1,), a.dtype) if a.size == 0 else a, template
-            )
-            out = ckptr.restore(path, item=placeheld)
-            return jax.tree.map(
-                lambda restored, t: np.zeros(t.shape, t.dtype) if t.size == 0 else restored,
-                out, template,
-            )
-        out = ckptr.restore(path)
+    # The MANIFEST (not the template) says which saved leaves were
+    # zero-size placeholders: a zero-size *template* leaf routinely pairs
+    # with non-empty saved data — e.g. a fresh Trainer's empty history
+    # lists templating a resume — and must restore the saved values.
     manifest = os.path.join(path, _ZERO_MANIFEST)
+    zero_leaves = {}
     if os.path.exists(manifest):
         with open(manifest) as f:
             zero_leaves = json.load(f)
 
-        def _unswap(key_path, a):
-            entry = zero_leaves.get(jax.tree_util.keystr(key_path))
-            if entry is not None:
-                shape, dtype = entry
-                return np.zeros(shape, dtype)
-            return a
+    def _unswap(key_path, a):
+        entry = zero_leaves.get(jax.tree_util.keystr(key_path))
+        if entry is not None:
+            shape, dtype = entry
+            return np.zeros(shape, dtype)
+        return a
 
+    with ocp.PyTreeCheckpointer() as ckptr:
+        if template is not None:
+            template = jax.tree.map(np.asarray, template)
+            if zero_leaves:
+                template = jax.tree_util.tree_map_with_path(
+                    lambda p, a: (np.zeros((1,), zero_leaves[jax.tree_util.keystr(p)][1])
+                                  if jax.tree_util.keystr(p) in zero_leaves else a),
+                    template,
+                )
+            out = ckptr.restore(path, item=template)
+        else:
+            out = ckptr.restore(path)
+    if zero_leaves:
         out = jax.tree_util.tree_map_with_path(_unswap, out)
     return out
 

@@ -90,3 +90,22 @@ def test_checkpoint_roundtrips_zero_size_leaves(tmp_path):
         np.testing.assert_array_equal(restored["params"]["k"], tree["params"]["k"])
         np.testing.assert_array_equal(restored["opt_leaves"][1], tree["opt_leaves"][1])
         assert int(restored["epoch"]) == 7
+
+
+def test_checkpoint_empty_template_leaf_restores_saved_history(tmp_path):
+    """A zero-size TEMPLATE leaf must not be mistaken for a zero-size
+    SAVED leaf: resuming templates the checkpoint with a fresh Trainer's
+    EMPTY history lists, and the saved (non-empty) history must come
+    back (this is Trainer.load_checkpoint's exact shape)."""
+    from dfc_sa_unet_tpu.utils.checkpoint import restore_pytree, save_pytree
+
+    saved = {"history": {"train_losses": np.asarray([0.5, 0.4], np.float64)},
+             "params": {"w": np.ones((2, 2), np.float32)}}
+    path = str(tmp_path / "ckpt")
+    save_pytree(path, saved)
+
+    template = {"history": {"train_losses": np.asarray([], np.float64)},
+                "params": {"w": np.zeros((2, 2), np.float32)}}
+    restored = restore_pytree(path, template=template)
+    np.testing.assert_array_equal(restored["history"]["train_losses"], [0.5, 0.4])
+    np.testing.assert_array_equal(restored["params"]["w"], saved["params"]["w"])

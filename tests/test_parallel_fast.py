@@ -457,3 +457,38 @@ def test_vit_seg_fused_under_spatial_mesh_exact():
     xs = jax.device_put(x, NamedSharding(mesh, P("data", "spatial")))
     vs = jax.device_put(v, NamedSharding(mesh, P()))
     np.testing.assert_allclose(np.asarray(fn(vs, xs)), want, atol=1e-6, rtol=1e-6)
+
+
+def test_engines_under_spatial_mesh_match_single_device(setup):
+    """inference.py --engine/--int8 composed with --spatial_parallel: the
+    folded DFCEngine and the Int8DFCEngine (weights as jit constants)
+    under a 2-D ('data','spatial') mesh must equal their single-device
+    probabilities — the engines use different pooling/epilogue
+    formulations than the module path, so GSPMD's halo/all-reduce
+    insertion deserves its own exactness pin (the grad-accum x 2-D-mesh
+    miscompile showed 2-D propagation can go wrong where 1-D is fine)."""
+    from dfc_sa_unet_tpu.data.loader import normalize_on_device
+    from dfc_sa_unet_tpu.infer.engine import DFCEngine
+    from dfc_sa_unet_tpu.infer.predictor import Predictor
+    from dfc_sa_unet_tpu.infer.quant import Int8DFCEngine
+    from dfc_sa_unet_tpu.parallel import serving_mesh
+
+    cfg, loader, batch, model = setup
+    variables = model.init(
+        jax.random.key(4), jnp.zeros((1, 16, 16, 3), jnp.float32), train=False
+    )
+    imgs = np.asarray(batch["image"])  # [8, 16, 16, 3] u8
+    mesh2d = serving_mesh(spatial=4)
+
+    engines = {
+        "engine": DFCEngine(cfg, variables, dtype=jnp.float32),
+        "int8": Int8DFCEngine(cfg, variables, dtype=jnp.float32,
+                              calib_batches=[normalize_on_device(jnp.asarray(imgs))]),
+    }
+    for name, eng in engines.items():
+        apply_fn = lambda _, x, e=eng: e._forward(x)  # noqa: E731
+        p1 = Predictor(model, variables, apply_fn=apply_fn)
+        pm = Predictor(model, variables, apply_fn=apply_fn, mesh=mesh2d)
+        got = pm.predict_probs(imgs)
+        want = p1.predict_probs(imgs)
+        np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-6, err_msg=name)

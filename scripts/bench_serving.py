@@ -2,9 +2,16 @@
 """Serving sweep: Predictor.predict_probs throughput across batch sizes,
 policy ON (chunk >128 / pad [64,128)) vs the raw native shape.
 
-Timing is honest on the tunneled backend because predict_probs returns
-np.asarray(probs) — the D2H copy of the full output cannot complete
-before the device does.  One warmup call per shape pays the compile.
+Timing is *complete* on the tunneled backend because predict_probs
+returns np.asarray(probs) — the D2H copy of the full output cannot
+finish before the device does.  BUT on the axon tunnel that D2H is a
+~14 MB/s network link, so this script measures the LINK, not the chip
+(n=128 -> 3,320 ms ~= 43 MB round trip; every size collapses to
+32-46 img/s — PERF.md "chunk policy" entry).  Use it on local-attached
+TPU; on the tunnel, per-shape chip truth comes from the scan-chained
+scalar-fetch method (bench.py / bench_cliff.py) and the policy cost is
+the sum of its chunk shapes.  One warmup call per shape pays the
+compile.
 
     python scripts/bench_serving.py [--sizes 1,8,64,96,128,160,200,256]
                                     [--int8] [--repeats 3]

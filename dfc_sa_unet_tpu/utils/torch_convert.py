@@ -159,3 +159,104 @@ def load_torch_checkpoint(path: str, template: Mapping[str, Any]):
     if isinstance(ckpt, dict) and "model_state_dict" in ckpt:
         ckpt = ckpt["model_state_dict"]
     return torch_state_dict_to_variables(ckpt, template)
+
+
+# ---------------------------------------------------------------------------
+# The reverse direction: Flax variables -> PyTorch state_dict.
+#
+# Lets checkpoints trained on TPU flow back into the reference's torch
+# tooling (reference inference.py:222-229 loads raw state_dicts, so the
+# export is directly servable there).  The naming rule inverts cleanly:
+# trailing ``_<digits>`` segments on module names were folded numeric
+# Sequential indices (``conv_branch_0`` <- ``conv_branch.0``) and unfold
+# back to dots; leaf kinds invert by the same permutations (all are
+# self-inverse or have the explicit inverse applied here).  Round-trip
+# exactness vs every reference model family is pinned in
+# tests/test_torch_export.py.
+# ---------------------------------------------------------------------------
+
+
+def _unfold_numeric(name: str):
+    """'conv_branch_0_1' -> ['conv_branch', '0', '1']; 'down1' -> ['down1']."""
+    tail = []
+    while "_" in name:
+        head, _, last = name.rpartition("_")
+        if not last.isdigit():
+            break
+        tail.insert(0, last)
+        name = head
+    return [name] + tail
+
+
+def variables_to_torch_state_dict(variables: Mapping[str, Any]) -> "OrderedDict[str, np.ndarray]":
+    """Convert Flax ``{'params':..,'batch_stats':..}`` to a torch-style
+    state_dict of numpy arrays (keyed/laid out exactly as the reference
+    PyTorch models expect; float leaves cast to float32).
+
+    BatchNorm modules (identified by a ``mean`` entry in batch_stats) get a
+    ``num_batches_tracked`` int64 zero — torch's strict ``load_state_dict``
+    requires the key; its value does not affect eval/inference math.
+    """
+    from collections import OrderedDict
+
+    out: "OrderedDict[str, np.ndarray]" = OrderedDict()
+
+    def _leaf(val) -> np.ndarray:
+        a = np.asarray(val)
+        if np.issubdtype(a.dtype, np.floating):
+            a = a.astype(np.float32)
+        return a
+
+    def _walk_params(node, prefix):
+        for name, v in node.items():
+            if isinstance(v, Mapping):
+                _walk_params(v, prefix + _unfold_numeric(name))
+                continue
+            a = _leaf(v)
+            key_prefix = ".".join(prefix)
+            if name == "kernel":
+                if a.ndim == 4:  # HWIO -> OIHW
+                    a = a.transpose(3, 2, 0, 1)
+                elif a.ndim == 2:  # flax [in,out] -> torch [out,in]
+                    a = a.T
+                out[f"{key_prefix}.weight"] = a
+            elif name == "kernel_t":  # HWIO' -> IOHW (self-inverse perm)
+                out[f"{key_prefix}.weight"] = a.transpose(2, 3, 0, 1)
+            elif name == "scale":
+                out[f"{key_prefix}.weight"] = a
+            elif name == "bias":
+                out[f"{key_prefix}.bias"] = a
+            else:
+                # gamma, res_scale, pos_embed, in_proj_weight, ... — the
+                # forward converter transposes 2D values to match flax
+                # [in,out]; invert that here.
+                if a.ndim == 2:
+                    a = a.T
+                out[f"{key_prefix}.{name}" if key_prefix else name] = a
+
+    def _walk_stats(node, prefix):
+        for name, v in node.items():
+            if isinstance(v, Mapping):
+                _walk_stats(v, prefix + _unfold_numeric(name))
+                continue
+            key_prefix = ".".join(prefix)
+            if name == "mean":
+                out[f"{key_prefix}.running_mean"] = _leaf(v)
+            elif name == "var":
+                out[f"{key_prefix}.running_var"] = _leaf(v)
+                out[f"{key_prefix}.num_batches_tracked"] = np.zeros((), np.int64)
+            else:
+                raise KeyError(f"unknown batch_stats leaf {name!r} at {key_prefix}")
+
+    _walk_params(variables.get("params", {}), [])
+    _walk_stats(variables.get("batch_stats", {}), [])
+    return out
+
+
+def save_torch_checkpoint(path: str, variables: Mapping[str, Any]):
+    """Write Flax variables as a raw torch ``.pth`` state_dict, loadable by
+    the reference's ``inference.py --model`` and ``pretrained_path``."""
+    import torch
+
+    sd = variables_to_torch_state_dict(variables)
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}, path)

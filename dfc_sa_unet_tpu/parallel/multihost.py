@@ -1,0 +1,194 @@
+"""Multi-host (pod-scale) runtime: jax.distributed + per-process data.
+
+The reference is strictly single-process (SURVEY.md §2.4 — no
+distributed support of any kind); this module extends the framework's
+GSPMD data parallelism from one host's chips to a TPU pod.  The design
+is the standard JAX multi-controller recipe, not an MPI/NCCL port:
+
+  * every process runs the SAME program; ``jax.distributed.initialize``
+    wires the processes into one cluster and ``jax.devices()`` becomes
+    the GLOBAL device list, so the existing ``Mesh``/``NamedSharding``
+    training step is unchanged — XLA's collectives simply span hosts
+    (ICI within a slice, DCN across slices),
+  * each process loads a disjoint contiguous shard of every global
+    batch (``BatchLoader(shard=...)``) and the shards are assembled
+    into one global ``jax.Array`` with
+    ``jax.make_array_from_process_local_data`` — no host ever
+    materializes the full batch,
+  * scalars coming back from jitted steps are fully replicated, so
+    every process sees identical losses/metrics and takes identical
+    control-flow decisions (best-model selection, NaN skips) without
+    any extra communication,
+  * host-side artifacts (plots, CSVs, checkpoints) are written by
+    process 0 only; per-sample dumps are per-host over that host's
+    validation shard.
+
+Testability without a pod: N CPU processes x M virtual devices each
+form a real multi-controller cluster (Gloo collectives) — see
+tests/test_multihost.py, which asserts a 2-process x 4-device run
+matches the single-process 8-device run.
+"""
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+__all__ = [
+    "initialize",
+    "is_primary",
+    "process_index",
+    "process_count",
+    "local_device_count",
+    "global_batch",
+    "host_local",
+    "gather_rows",
+    "broadcast_tree",
+    "sync",
+    "shard_for_this_process",
+]
+
+
+def initialize(
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Join (or form) the multi-process cluster.
+
+    On Cloud TPU pods every argument is auto-detected from the metadata
+    server — call with no arguments.  For explicit clusters (CPU tests,
+    bare-metal) pass ``coordinator`` ("host:port"), ``num_processes``
+    and ``process_id``.  Safe to call when already initialized (no-op)
+    or for a single-process run (num_processes=1 skips the dance).
+    """
+    # NB: jax.process_count()/jax.devices() would INITIALIZE the backend,
+    # after which distributed init is rejected — probe the client directly
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return  # already initialized
+    if num_processes == 1 and coordinator is None:
+        return
+    # cross-process collectives on the CPU backend need Gloo (TPU's ICI
+    # collectives are native); harmless no-op where the knob is absent
+    try:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass
+    kwargs = {}
+    if coordinator is not None:
+        kwargs["coordinator_address"] = coordinator
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
+def process_index() -> int:
+    return jax.process_index()
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def local_device_count() -> int:
+    return jax.local_device_count()
+
+
+def is_primary() -> bool:
+    """True on the process that should write artifacts/checkpoints."""
+    return jax.process_index() == 0
+
+
+def global_batch(local_tree, sharding):
+    """Assemble per-process local batch arrays into global jax.Arrays.
+
+    ``local_tree`` holds this process's contiguous rows of the global
+    batch (``BatchLoader(shard=(pid, nproc))`` yields exactly that);
+    the result is one global array per leaf whose addressable shards
+    are this host's rows — byte-identical layout to a single-process
+    ``device_put`` of the concatenated batch.
+    """
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        local_tree,
+    )
+
+
+def host_local(arr, batch_axis: int = 0):
+    """This host's rows of a batch-sharded global array, as numpy.
+
+    Shards are concatenated in global-row order (the inverse of
+    :func:`global_batch`), so row i of the result is the i-th local row
+    this process contributed.  Used to pull per-sample metrics back for
+    host-side selection (best/worst-K) without gathering other hosts'
+    shards.
+    """
+    if not isinstance(arr, jax.Array) or arr.is_fully_replicated:
+        a = np.asarray(arr)
+        # fully-replicated arrays carry every host's rows; callers want
+        # only this host's slice when the batch was process-sharded
+        return a
+    shards = [s for s in arr.addressable_shards]
+    shards.sort(key=lambda s: s.index[batch_axis].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=batch_axis)
+
+
+def broadcast_tree(tree, mesh):
+    """Replicate a host-local pytree onto the global mesh (process 0 wins).
+
+    Uses a device broadcast so every process ends up with bit-identical
+    values even if host-side init diverged (it should not — inits are
+    seed-deterministic — but checkpoint restores from non-shared
+    filesystems make this cheap insurance).
+    """
+    from jax.experimental import multihost_utils
+
+    if jax.process_count() == 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        return jax.device_put(tree, NamedSharding(mesh, PartitionSpec()))
+    return multihost_utils.broadcast_one_to_all(tree)
+
+
+def sync(name: str = "sync") -> None:
+    """Barrier across every process (no-op single-process)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
+def shard_for_this_process() -> Optional[tuple]:
+    """(process_id, process_count) for BatchLoader, or None single-process."""
+    n = jax.process_count()
+    return (jax.process_index(), n) if n > 1 else None
+
+
+def gather_rows(arr, n_real: int):
+    """Global per-sample values in the original (unpadded) batch order.
+
+    ``arr`` is a batch-sharded global [L] array built from per-process
+    chunks of ``L / process_count`` rows each, where every process's
+    real rows are a PREFIX of its chunk (BatchLoader's shard layout).
+    Allgathers the chunks and drops each process's padding rows, so the
+    result is the [n_real] vector a single-process run would produce.
+    Host-side strings (filenames) ride alongside via the loader's
+    ``filename_global``.
+    """
+    local = host_local(arr)
+    if jax.process_count() == 1:
+        return local[:n_real]
+    from jax.experimental import multihost_utils
+
+    rows = np.asarray(multihost_utils.process_allgather(local))  # [nproc, chunk]
+    chunk = rows.shape[1]
+    out = []
+    for p in range(rows.shape[0]):
+        take = min(max(n_real - p * chunk, 0), chunk)
+        out.append(rows[p, :take])
+    return np.concatenate(out) if out else local[:0]

@@ -157,6 +157,27 @@ class Trainer:
             )
         else:
             self._data_sharding = None
+        # Multi-host (pod) mode: the mesh spans every process's devices;
+        # batches arrive as per-process chunks (BatchLoader(shard=...)) and
+        # are assembled into global arrays; artifacts/checkpoints are
+        # written by process 0 only (parallel/multihost.py).
+        self._multihost = jax.process_count() > 1
+        self._is_primary = jax.process_index() == 0
+
+    def _replicate_state(self, state):
+        """Place a host-local state pytree replicated on the mesh.
+
+        Multi-host: ``device_put`` cannot target non-addressable devices,
+        so each process contributes its (identical, seed-deterministic)
+        local copy via ``make_array_from_process_local_data``.
+        """
+        if not self._multihost:
+            return jax.device_put(state, self._replicated)
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                self._replicated, np.asarray(x)),
+            state,
+        )
 
     # ---------------------------------------------------------------- state
 
@@ -176,7 +197,7 @@ class Trainer:
             step=jnp.zeros((), jnp.int32),
         )
         if self.mesh is not None:
-            state = jax.device_put(state, self._replicated)
+            state = self._replicate_state(state)
         return state
 
     # ---------------------------------------------------------------- steps
@@ -336,6 +357,8 @@ class Trainer:
         batch statistics (and hence the valid samples' gradients), so the
         batch runs replicated instead, with a one-time warning.
         """
+        if self._data_sharding is not None and self._multihost:
+            return self._put_batch_multihost(batch, pad_to_devices)
         imgs = jnp.asarray(batch["image"])
         masks = jnp.asarray(batch["mask"])
         valid = None
@@ -380,6 +403,54 @@ class Trainer:
                 valid = jax.device_put(valid, self._vec_sharding)
         return imgs, masks, valid
 
+    def _put_batch_multihost(self, batch, pad_to_devices: bool):
+        """Assemble per-process loader chunks into global arrays.
+
+        The loader (``BatchLoader(shard=(pid, nproc))``) already did the
+        padding arithmetic: every process holds either its contiguous
+        chunk of the global batch (plus a ``valid`` mask when padded) or
+        the full batch when it chose the replicate policy for a partial
+        train batch.  ``make_array_from_process_local_data`` turns the
+        chunks into one global jax.Array without any host ever holding
+        the full pixel data.
+        """
+        imgs = np.asarray(batch["image"])
+        masks = np.asarray(batch["mask"])
+        if batch.get("replicated"):
+            # partial train batch: every process loaded the full batch —
+            # run it replicated (exact math, mirrors the single-process
+            # mesh fallback; padding would perturb BN batch statistics)
+            if not getattr(self, "_warned_replicated", False):
+                self._warned_replicated = True
+                print(
+                    f"Warning: train batch of {imgs.shape[0]} is not divisible by "
+                    f"the mesh; running it replicated (exact math, no speedup)."
+                )
+            put = lambda x: jax.make_array_from_process_local_data(self._replicated, x)
+            return put(imgs), put(masks), None
+        valid = batch.get("valid")
+        if valid is not None and not pad_to_devices:
+            raise ValueError(
+                "padded multi-host batch reached the train step — build the "
+                "train loader with partial='replicate' (padding perturbs "
+                "BatchNorm batch statistics)"
+            )
+        sharding = self._data_sharding
+        if self._n_spatial > 1 and imgs.shape[1] % self._n_spatial != 0:
+            if not getattr(self, "_warned_spatial", False):
+                self._warned_spatial = True
+                print(f"Warning: image height {imgs.shape[1]} is not divisible "
+                      f"by the mesh's spatial axis ({self._n_spatial}); "
+                      f"sharding the batch dimension only.")
+            sharding = self._vec_sharding
+        g_imgs = jax.make_array_from_process_local_data(sharding, imgs)
+        g_masks = jax.make_array_from_process_local_data(sharding, masks)
+        g_valid = None
+        if valid is not None:
+            g_valid = jax.make_array_from_process_local_data(
+                self._vec_sharding, np.asarray(valid, np.float32))
+        return g_imgs, g_masks, g_valid
+
     # ---------------------------------------------------------------- epochs
 
     def train_epoch(self, state: TrainState, epoch: int):
@@ -393,6 +464,7 @@ class Trainer:
         progress = tqdm(
             self.train_loader, total=len(self.train_loader),
             desc=f"Epoch {epoch + 1}/{self.num_epochs} [Train]", leave=False,
+            disable=not self._is_primary,
         )
         # input-bound detection: the loader is double-buffered, so any time
         # spent in next() is the host pipeline failing to keep up with the
@@ -426,7 +498,7 @@ class Trainer:
             if self._stop_requested.is_set():
                 break
         progress.close()
-        if timer.steps:
+        if timer.steps and self._is_primary:
             print(f"  [epoch {epoch + 1}] {timer.summary()}")
         epoch_wall = time.perf_counter() - epoch_t0
         if (not self._input_bound_warned and n_used >= 2
@@ -457,9 +529,20 @@ class Trainer:
             sums["iou"] += float(metrics["iou"])
             sums["dice"] += float(metrics["dice"])
             n_batches += 1
-            ps_dice = np.asarray(metrics["per_sample_dice"])
-            ps_iou = np.asarray(metrics["per_sample_iou"])
-            for i, fname in enumerate(batch["filename"]):
+            if self._multihost and self.mesh is not None:
+                # per-sample vectors are batch-sharded across hosts;
+                # allgather the real rows so best/worst-K selection stays
+                # globally exact (identical on every process)
+                from dfc_sa_unet_tpu.parallel import multihost as mh
+
+                names = batch.get("filename_global", batch["filename"])
+                ps_dice = mh.gather_rows(metrics["per_sample_dice"], len(names))
+                ps_iou = mh.gather_rows(metrics["per_sample_iou"], len(names))
+            else:
+                names = batch["filename"]
+                ps_dice = np.asarray(metrics["per_sample_dice"])
+                ps_iou = np.asarray(metrics["per_sample_iou"])
+            for i, fname in enumerate(names):
                 sample_records.append((float(ps_dice[i]), float(ps_iou[i]), fname))
         n = max(n_batches, 1)
         sample_records.sort(key=lambda r: r[0])
@@ -488,6 +571,8 @@ class Trainer:
         }
 
     def save_checkpoint(self, state: TrainState, epoch: int, is_best: bool = False):
+        if not self._is_primary:
+            return  # one writer per cluster; state is replicated anyway
         tree = self._state_to_tree(state, epoch)
         path = os.path.join(self.checkpoint_dir, f"checkpoint_epoch_{epoch + 1}")
         ckpt_util.save_pytree(path, tree)
@@ -517,7 +602,7 @@ class Trainer:
             step=jnp.asarray(tree["step"], jnp.int32),
         )
         if self.mesh is not None:
-            new_state = jax.device_put(new_state, self._replicated)
+            new_state = self._replicate_state(new_state)
         print(f"Resuming from epoch {self.start_epoch}")
         return new_state
 
@@ -528,6 +613,11 @@ class Trainer:
         if not records:
             return
         os.makedirs(out_dir, exist_ok=True)
+        state = state.replace(
+            params=jax.tree.map(np.asarray, state.params),
+            batch_stats=jax.tree.map(np.asarray, state.batch_stats),
+        ) if self._multihost else state  # global arrays -> host (op-by-op
+        # forwards below must not mix local inputs with multi-host arrays)
         dataset = self.val_loader.dataset
         by_name = {s[2]: i for i, s in enumerate(dataset.samples)}
         for _, _, fname in records:
@@ -564,7 +654,8 @@ class Trainer:
             state = self.load_checkpoint(resume_from, state)
         self._install_preemption_handler()
 
-        print(f"Using loss: {self.loss_type} params={self.loss_params}")
+        if self._is_primary:
+            print(f"Using loss: {self.loss_type} params={self.loss_params}")
         for epoch in range(self.start_epoch, self.num_epochs):
             if self._stop_requested.is_set():
                 self.save_checkpoint(state, epoch - 1)
@@ -581,33 +672,38 @@ class Trainer:
             self.history["train_iou_scores"].append(tr_iou)
             self.history["val_iou_scores"].append(val["iou"])
 
-            print(f"Epoch [{epoch + 1}/{self.num_epochs}]")
-            print(f"  Train Loss: {tr_loss:.4f}, Dice: {tr_dice:.4f}, IoU: {tr_iou:.4f}")
-            print(f"  Val Loss: {val['loss']:.4f}, Dice: {val['dice']:.4f}, IoU: {val['iou']:.4f}")
+            if self._is_primary:
+                print(f"Epoch [{epoch + 1}/{self.num_epochs}]")
+                print(f"  Train Loss: {tr_loss:.4f}, Dice: {tr_dice:.4f}, IoU: {tr_iou:.4f}")
+                print(f"  Val Loss: {val['loss']:.4f}, Dice: {val['dice']:.4f}, IoU: {val['iou']:.4f}")
 
+            # metrics are replicated scalars, so every process takes the
+            # same is_best decision without extra communication
             is_best = val["dice"] > self.best_val_dice
             if is_best:
                 self.best_val_dice = val["dice"]
-                print(f"  Saved best model with validation dice: {self.best_val_dice:.4f}")
+                if self._is_primary:
+                    print(f"  Saved best model with validation dice: {self.best_val_dice:.4f}")
             self.best_val_loss = min(self.best_val_loss, val["loss"])
 
             if (epoch + 1) % self.save_checkpoint_freq == 0 or is_best:
                 self.save_checkpoint(state, epoch, is_best)
 
-            save_loss_plot(
-                self.history["train_losses"], self.history["val_losses"],
-                os.path.join(self.images_dir, "loss_plot.png"),
-            )
-            save_metrics_plot(
-                self.epochs, self.history["train_dice_scores"], self.history["val_dice_scores"],
-                "Dice", os.path.join(self.images_dir, "dice_plot.png"),
-            )
-            save_metrics_plot(
-                self.epochs, self.history["train_iou_scores"], self.history["val_iou_scores"],
-                "IoU", os.path.join(self.images_dir, "iou_plot.png"),
-            )
+            if self._is_primary:
+                save_loss_plot(
+                    self.history["train_losses"], self.history["val_losses"],
+                    os.path.join(self.images_dir, "loss_plot.png"),
+                )
+                save_metrics_plot(
+                    self.epochs, self.history["train_dice_scores"], self.history["val_dice_scores"],
+                    "Dice", os.path.join(self.images_dir, "dice_plot.png"),
+                )
+                save_metrics_plot(
+                    self.epochs, self.history["train_iou_scores"], self.history["val_iou_scores"],
+                    "IoU", os.path.join(self.images_dir, "iou_plot.png"),
+                )
 
-            if self.save_k:
+            if self.save_k and self._is_primary:
                 epoch_dir = os.path.join(self.log_dir, f"epoch_{epoch + 1}")
                 self._dump_samples(state, val["best_samples"], os.path.join(epoch_dir, "best_samples"))
                 self._dump_samples(state, val["worst_samples"], os.path.join(epoch_dir, "worst_samples"))
@@ -615,10 +711,11 @@ class Trainer:
         total = time.time() - self.start_time
         h, rem = divmod(total, 3600)
         m, s = divmod(rem, 60)
-        print(f"Training completed in {int(h)}h {int(m)}m {int(s)}s")
-        print(f"Best validation dice: {self.best_val_dice:.4f}")
-        if os.path.isdir(self.best_model_path):
-            print(f"Best model saved to {self.best_model_path}")
-        else:  # val dice never exceeded 0.0 — nothing was saved
-            print("No best model saved (validation dice never improved)")
+        if self._is_primary:
+            print(f"Training completed in {int(h)}h {int(m)}m {int(s)}s")
+            print(f"Best validation dice: {self.best_val_dice:.4f}")
+            if os.path.isdir(self.best_model_path):
+                print(f"Best model saved to {self.best_model_path}")
+            else:  # val dice never exceeded 0.0 — nothing was saved
+                print("No best model saved (validation dice never improved)")
         return state

@@ -37,6 +37,31 @@ def _abspath(p: str) -> str:
     return os.path.abspath(p.replace("\\", "/"))
 
 
+def _local_checkpointer():
+    """PyTree checkpointer that never coordinates across processes.
+
+    Orbax's default save/restore runs GLOBAL barriers (every process must
+    call it together), but the trainer checkpoints from process 0 only
+    while the other processes may already be inside the next training
+    collective — a deadlock (observed: a 2-process CPU cluster hangs at
+    the first best-checkpoint save).  Trees here are plain numpy
+    (replicated state pulled to host first), so cross-process
+    coordination buys nothing: make THIS process the primary and the
+    only active one, with per-process barrier keys so disjoint barriers
+    cannot collide at the coordinator.
+    """
+    if jax.process_count() == 1:
+        return ocp.PyTreeCheckpointer()
+    pid = jax.process_index()
+    mp = ocp.options.MultiprocessingOptions(
+        primary_host=pid, active_processes={pid},
+        barrier_sync_key_prefix=f"proc{pid}")
+    return ocp.Checkpointer(
+        ocp.PyTreeCheckpointHandler(multiprocessing_options=mp),
+        multiprocessing_options=mp,
+    )
+
+
 def save_pytree(path: str, tree: Mapping[str, Any]):
     path = _abspath(path)
     if os.path.exists(path):
@@ -51,7 +76,7 @@ def save_pytree(path: str, tree: Mapping[str, Any]):
         return a
 
     tree = jax.tree_util.tree_map_with_path(_placeholder, tree)
-    with ocp.PyTreeCheckpointer() as ckptr:
+    with _local_checkpointer() as ckptr:
         ckptr.save(path, tree)
     if zero_leaves:
         with open(os.path.join(path, _ZERO_MANIFEST), "w") as f:
@@ -77,7 +102,7 @@ def restore_pytree(path: str, template: Optional[Mapping[str, Any]] = None):
             return np.zeros(shape, dtype)
         return a
 
-    with ocp.PyTreeCheckpointer() as ckptr:
+    with _local_checkpointer() as ckptr:
         if template is not None:
             template = jax.tree.map(np.asarray, template)
             if zero_leaves:

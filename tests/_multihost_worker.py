@@ -1,0 +1,136 @@
+"""One process of an N-process CPU test cluster (see test_multihost.py).
+
+Run as a script, this joins a ``jax.distributed`` cluster of ``nproc``
+processes x ``local_devices`` virtual CPU devices each and trains the
+shared tiny recipe over the global mesh, with per-process data sharding
+(``BatchLoader(shard=...)``).  Imported as a module, :func:`train_once`
+runs the IDENTICAL recipe single-process — the test compares the two.
+
+Heavy imports live inside functions so the test process can import this
+module without touching jax config; the script path sets the platform
+env BEFORE importing jax (the image's sitecustomize pins the TPU tunnel,
+so both the env var and the config knob are set — tests/conftest.py).
+"""
+
+import argparse
+import os
+import sys
+
+
+def _config(train_dir, val_dir, log_dir, epochs=2, batch=8):
+    return {
+        "training": {"num_epochs": epochs, "batch_size": batch,
+                     "learning_rate": 0.05, "momentum": 0.9,
+                     "weight_decay": 1e-4, "num_workers": 1,
+                     "save_checkpoint_freq": 100, "device": "auto",
+                     "loss": {"type": "bce_dice",
+                              "params": {"weight_bce": 0.5, "weight_dice": 0.5}}},
+        "model": {"name": "MiniNet"},
+        "dataset": {"train_dir": train_dir, "val_dir": val_dir,
+                    "img_size": [16, 16], "augmentation": False,
+                    "cache": False},
+        "logging": {"log_dir": log_dir, "images_dir": log_dir + "/images",
+                    "save_best_worst_samples": 2},
+    }
+
+
+def _mini_net():
+    import flax.linen as nn
+
+    from dfc_sa_unet_tpu.nn.layers import BatchNorm, Conv
+
+    class MiniNet(nn.Module):
+        """conv+BN+conv: exercises cross-replica BN statistics, grads and
+        the donated TrainState with second-scale CPU compiles."""
+
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            x = Conv(features=4, kernel_size=3, padding=1, name="c1")(x)
+            x = BatchNorm(name="bn1")(x, train=train)
+            x = nn.relu(x)
+            return Conv(features=1, kernel_size=1, name="c2")(x)
+
+    return MiniNet()
+
+
+def train_once(train_dir, val_dir, log_dir, shard=None, pad_multiple=1,
+               epochs=2):
+    """Train the shared recipe; returns comparable host-side results.
+
+    ``shard=None`` is the single-process reference; ``shard=(pid, nproc)``
+    is one member of a cluster (jax.distributed must already be up).
+    Uses drop_last=False so the partial train batch (20 % 8 = 4) takes the
+    replicate policy and the partial val batch (10 % 8 = 2) takes the
+    pad+mask policy — both exactness paths run.
+    """
+    import jax
+    import numpy as np
+
+    from dfc_sa_unet_tpu.data.loader import DataLoaderFactory
+    from dfc_sa_unet_tpu.parallel import data_parallel_mesh
+    from dfc_sa_unet_tpu.train.trainer import Trainer
+
+    cfg = _config(train_dir, val_dir, log_dir, epochs=epochs)
+    factory = DataLoaderFactory(cfg, seed=0)
+    train_loader = factory.get_train_loader(
+        drop_last=False, shard=shard, shard_pad_multiple=pad_multiple)
+    val_loader = factory.get_val_loader(
+        shard=shard, shard_pad_multiple=pad_multiple)
+    mesh = data_parallel_mesh()
+    trainer = Trainer(_mini_net(), train_loader, val_loader, cfg,
+                      mesh=mesh, seed=0)
+    state = trainer.train()
+    trainer.save_k = len(val_loader.dataset)  # final pass returns ALL samples
+    val = trainer.validate_epoch(state)
+    records = sorted(val["best_samples"])  # (dice, iou, fname) for every sample
+    flat = np.concatenate(
+        [np.asarray(l, np.float64).ravel() for l in jax.tree.leaves(state.params)])
+    return {
+        "params_flat": flat,
+        "val_loss": np.float64(val["loss"]),
+        "val_dice": np.float64(val["dice"]),
+        "record_dice": np.asarray([r[0] for r in records], np.float64),
+        "record_names": np.asarray([r[2] for r in records]),
+        **{f"hist_{k}": np.asarray(v, np.float64)
+           for k, v in trainer.history.items()},
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--pid", type=int, required=True)
+    p.add_argument("--nproc", type=int, required=True)
+    p.add_argument("--port", type=int, required=True)
+    p.add_argument("--local_devices", type=int, default=4)
+    p.add_argument("--train_dir", required=True)
+    p.add_argument("--val_dir", required=True)
+    p.add_argument("--log_dir", required=True)
+    p.add_argument("--out", required=True)
+    args = p.parse_args()
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={args.local_devices}")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from dfc_sa_unet_tpu.parallel import multihost as mh
+
+    mh.initialize(f"localhost:{args.port}", args.nproc, args.pid)
+    assert len(jax.devices()) == args.nproc * args.local_devices, (
+        f"cluster formed {len(jax.devices())} devices, expected "
+        f"{args.nproc * args.local_devices}")
+    pad_multiple = len(jax.devices()) // mh.process_count()
+    results = train_once(args.train_dir, args.val_dir, args.log_dir,
+                         shard=mh.shard_for_this_process(),
+                         pad_multiple=pad_multiple)
+    if mh.is_primary():
+        import numpy as np
+
+        np.savez(args.out, **results)
+    mh.sync("done")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

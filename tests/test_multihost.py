@@ -1,0 +1,168 @@
+"""Multi-host (pod-scale) training: loader sharding + a real 2-process
+CPU cluster (jax.distributed + Gloo collectives) vs single-process.
+
+The reference is strictly single-process (SURVEY.md §2.4); the framework
+extends GSPMD data parallelism across processes (parallel/multihost.py).
+The cluster test spawns 2 subprocesses x 4 virtual CPU devices each and
+asserts the run matches the in-process 8-device single-controller run —
+same final params, same history, same per-sample validation metrics.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from dfc_sa_unet_tpu.data.loader import DataLoaderFactory
+from dfc_sa_unet_tpu.data.synthetic import generate
+
+import _multihost_worker as worker  # tests/ is on sys.path (no __init__.py)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+# --------------------------------------------------------- loader sharding
+
+
+@pytest.fixture(scope="module")
+def data(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("mh")
+    train = generate(str(tmp / "train"), n=20, size=16, seed=31)
+    val = generate(str(tmp / "val"), n=10, size=16, seed=32)
+    return train, val, str(tmp)
+
+
+def _batches(loader):
+    return list(iter(loader))
+
+
+def test_loader_shard_reassembles_to_single_process(data):
+    """Concatenating every process's chunk in process order must equal the
+    unsharded batch plus per-process trailing zeros, with a correct valid
+    mask and the full global filename list."""
+    train, val, _ = data
+    cfg = worker._config(train, val, "/tmp/unused")
+    nproc, m = 2, 4
+    ref = _batches(DataLoaderFactory(cfg, seed=0).get_val_loader())
+    shards = [
+        _batches(DataLoaderFactory(cfg, seed=0).get_val_loader(
+            shard=(p, nproc), shard_pad_multiple=m))
+        for p in range(nproc)
+    ]
+    assert len(ref) == len(shards[0]) == len(shards[1])
+    for b, rb in enumerate(ref):
+        chunks = [shards[p][b] for p in range(nproc)]
+        g = rb["image"].shape[0]
+        imgs = np.concatenate([c["image"] for c in chunks])
+        masks = np.concatenate([c["mask"] for c in chunks])
+        L = imgs.shape[0]
+        assert L % (nproc * m) == 0
+        # real rows of the padded layout sit at each process's chunk prefix
+        chunk = L // nproc
+        real = []
+        for p in range(nproc):
+            take = min(max(g - p * chunk, 0), chunk)
+            real.append((imgs[p * chunk:p * chunk + take],
+                         masks[p * chunk:p * chunk + take]))
+            # padding rows are zeros
+            assert not imgs[p * chunk + take:(p + 1) * chunk].any()
+            if "valid" in chunks[p]:
+                np.testing.assert_array_equal(
+                    chunks[p]["valid"],
+                    np.concatenate([np.ones(take, np.float32),
+                                    np.zeros(chunk - take, np.float32)]))
+        np.testing.assert_array_equal(
+            np.concatenate([r[0] for r in real]), rb["image"])
+        np.testing.assert_array_equal(
+            np.concatenate([r[1] for r in real]), rb["mask"])
+        for c in chunks:
+            assert c["filename_global"] == rb["filename"]
+        assert sum((c["filename"] for c in chunks), []) == rb["filename"]
+        # padded batches carry the mask on every process; exact ones don't
+        assert ("valid" in chunks[0]) == (L != g)
+
+
+def test_loader_shard_replicate_policy(data):
+    """partial='replicate': a partial train batch loads in FULL on every
+    process (zero rows would perturb BN batch stats); full batches shard."""
+    train, val, _ = data
+    cfg = worker._config(train, val, "/tmp/unused")  # train n=20, batch=8
+    nproc, m = 2, 4
+    ref = _batches(DataLoaderFactory(cfg, seed=0).get_train_loader(drop_last=False))
+    shards = [
+        _batches(DataLoaderFactory(cfg, seed=0).get_train_loader(
+            drop_last=False, shard=(p, nproc), shard_pad_multiple=m))
+        for p in range(nproc)
+    ]
+    assert len(ref) == 3  # 8 + 8 + 4
+    for b, rb in enumerate(ref):
+        g = rb["image"].shape[0]
+        if g % (nproc * m) == 0:
+            imgs = np.concatenate([shards[p][b]["image"] for p in range(nproc)])
+            np.testing.assert_array_equal(imgs, rb["image"])
+            assert not shards[0][b].get("replicated")
+        else:
+            for p in range(nproc):
+                assert shards[p][b]["replicated"] is True
+                np.testing.assert_array_equal(shards[p][b]["image"], rb["image"])
+                assert shards[p][b]["filename"] == rb["filename"]
+
+
+# --------------------------------------------------------- real 2-proc cluster
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow  # ~4 min on the 1-core host: 2 subprocesses x full XLA compiles
+def test_two_process_cluster_matches_single_process(data, tmp_path):
+    """2 processes x 4 devices (Gloo collectives) == 1 process x 8 devices:
+    final params, epoch history, and per-sample validation Dice all match.
+    Covers global-batch assembly, cross-process grad/BN reductions, the
+    replicate policy for the partial train batch, the pad+mask policy for
+    the partial val batch (incl. one process holding only padding rows),
+    and the per-sample allgather."""
+    train, val, _ = data
+    ref = worker.train_once(train, val, str(tmp_path / "ref_logs"))
+
+    port = _free_port()
+    out = str(tmp_path / "cluster.npz")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests", "_multihost_worker.py"),
+             "--pid", str(p), "--nproc", "2", "--port", str(port),
+             "--train_dir", train, "--val_dir", val,
+             "--log_dir", str(tmp_path / f"mh_logs_{p}"), "--out", out],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for p in range(2)
+    ]
+    logs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker {p.args[4]} failed:\n{log[-4000:]}"
+    got = np.load(out, allow_pickle=False)
+
+    np.testing.assert_allclose(
+        got["params_flat"], ref["params_flat"], rtol=1e-5, atol=1e-6)
+    for k in ref:
+        if k.startswith("hist_") or k in ("val_loss", "val_dice"):
+            np.testing.assert_allclose(
+                got[k], ref[k], rtol=1e-5, atol=1e-6, err_msg=k)
+    # per-sample validation metrics, matched by filename (order-independent)
+    ref_map = dict(zip(ref["record_names"].tolist(), ref["record_dice"]))
+    got_map = dict(zip(got["record_names"].tolist(), got["record_dice"]))
+    assert set(ref_map) == set(got_map)
+    for name, dice in ref_map.items():
+        np.testing.assert_allclose(got_map[name], dice, rtol=1e-5, atol=1e-6,
+                                   err_msg=name)

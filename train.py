@@ -65,6 +65,16 @@ def main():
                              "the float-noise floor — docs/validation/)")
     parser.add_argument("--no_pallas", action="store_true",
                         help="disable the bf16 TransUNet fused-MHA training default")
+    parser.add_argument("--multihost", action="store_true",
+                        help="join a multi-process (TPU pod) cluster via "
+                             "jax.distributed — each process drives its own "
+                             "chips and loads its own shard of every batch; "
+                             "auto-detects the cluster on Cloud TPU (or pass "
+                             "--coordinator/--num_processes/--process_id)")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="coordinator host:port for explicit clusters")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--exe_cache", type=str, default=None,
                         help="directory for compiled train-step caching (skips the "
@@ -103,9 +113,20 @@ def main():
 
     import jax.numpy as jnp
 
+    from dfc_sa_unet_tpu.parallel import multihost as mh
+
+    if args.multihost or args.coordinator:
+        mh.initialize(args.coordinator, args.num_processes, args.process_id)
+        if not args.data_parallel and args.spatial_parallel <= 1:
+            args.data_parallel = True  # a pod without a mesh is pointless
+        if mh.is_primary():
+            print(f"Multi-host cluster: {mh.process_count()} processes x "
+                  f"{mh.local_device_count()} local devices")
+
     dtype = jnp.bfloat16 if args.bf16 else None
     devices = jax.devices()
-    print(f"Devices: {devices}")
+    if mh.is_primary():
+        print(f"Devices: {devices}")
     mesh = None
     if args.spatial_parallel > 1:
         if len(devices) % args.spatial_parallel == 0 and len(devices) > 1:
@@ -123,8 +144,19 @@ def main():
         print(f"Data-parallel over {len(devices)} devices")
 
     factory = DataLoaderFactory(config, seed=args.seed)
-    train_loader = factory.get_train_loader(drop_last=mesh is not None)
-    val_loader = factory.get_val_loader()
+    shard = mh.shard_for_this_process()
+    if shard is not None and mesh is not None:
+        # each process loads only its contiguous chunk of every global
+        # batch; chunks must be divisible by this process's share of the
+        # mesh's data axis so the assembled array shards evenly
+        pad_multiple = max(1, mesh.shape.get("data", 1) // mh.process_count())
+        train_loader = factory.get_train_loader(
+            drop_last=True, shard=shard, shard_pad_multiple=pad_multiple)
+        val_loader = factory.get_val_loader(
+            shard=shard, shard_pad_multiple=pad_multiple)
+    else:
+        train_loader = factory.get_train_loader(drop_last=mesh is not None)
+        val_loader = factory.get_val_loader()
 
     # bf16 training default for TransUNet: its attention_dropout_rate is 0.0
     # (reference models/transformer_unet.py:318-342), so the fused Pallas MHA

@@ -133,26 +133,47 @@ def host_local(arr, batch_axis: int = 0):
         # fully-replicated arrays carry every host's rows; callers want
         # only this host's slice when the batch was process-sharded
         return a
-    shards = [s for s in arr.addressable_shards]
-    shards.sort(key=lambda s: s.index[batch_axis].start or 0)
-    return np.concatenate([np.asarray(s.data) for s in shards], axis=batch_axis)
+    # on a 2-D ('data','spatial') mesh a [B] vector is sharded over 'data'
+    # but REPLICATED along 'spatial' — every spatial device holds the same
+    # slice; keep one shard per distinct index or the rows would duplicate
+    shards = {}
+    for s in arr.addressable_shards:
+        key = tuple((sl.start, sl.stop) for sl in s.index)
+        shards.setdefault(key, s)
+    ordered = sorted(shards.values(),
+                     key=lambda s: s.index[batch_axis].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in ordered], axis=batch_axis)
 
 
-def broadcast_tree(tree, mesh):
-    """Replicate a host-local pytree onto the global mesh (process 0 wins).
+def broadcast_tree(tree):
+    """Process 0's values for every leaf, on every process, as host numpy.
 
-    Uses a device broadcast so every process ends up with bit-identical
-    values even if host-side init diverged (it should not — inits are
-    seed-deterministic — but checkpoint restores from non-shared
-    filesystems make this cheap insurance).
+    Bit-exact insurance for checkpoint restores: all processes restore the
+    same shared-filesystem files, but this guarantees identical bits even
+    if storage replicas diverge.  Leaves travel as raw bytes (uint8 views)
+    so float64 history / int64 counters survive the x64-disabled device
+    transport exactly; zero-size leaves pass through locally (they are
+    zeros by construction — utils/checkpoint.py placeholders them).
+    Every process must call this with an identically-structured tree.
     """
+    if jax.process_count() == 1:
+        return jax.tree.map(np.asarray, tree)
     from jax.experimental import multihost_utils
 
-    if jax.process_count() == 1:
-        from jax.sharding import NamedSharding, PartitionSpec
-
-        return jax.device_put(tree, NamedSharding(mesh, PartitionSpec()))
-    return multihost_utils.broadcast_one_to_all(tree)
+    leaves, treedef = jax.tree.flatten(tree)
+    meta, payload, idx = [], [], []
+    for i, l in enumerate(leaves):
+        a = np.asarray(l)
+        meta.append((a.shape, a.dtype))  # BEFORE ascontiguousarray: it
+        leaves[i] = a                    # promotes 0-d arrays to (1,)
+        if a.size:
+            idx.append(i)
+            payload.append(np.ascontiguousarray(a).reshape(-1).view(np.uint8))
+    sent = multihost_utils.broadcast_one_to_all(payload)
+    for i, b in zip(idx, sent):
+        shape, dtype = meta[i]
+        leaves[i] = np.asarray(b, np.uint8).view(dtype).reshape(shape)
+    return jax.tree.unflatten(treedef, leaves)
 
 
 def sync(name: str = "sync") -> None:

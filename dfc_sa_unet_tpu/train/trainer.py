@@ -413,9 +413,24 @@ class Trainer:
         train batch.  ``make_array_from_process_local_data`` turns the
         chunks into one global jax.Array without any host ever holding
         the full pixel data.
+
+        Unsharded loaders (no ``filename_global`` key — e.g. the mesh's
+        data axis is smaller than the process count, see train.py) hand
+        every process the FULL batch; it is sliced onto the devices via
+        an explicit ``global_shape`` when divisible, else run replicated.
         """
         imgs = np.asarray(batch["image"])
         masks = np.asarray(batch["mask"])
+        if "filename_global" not in batch and not batch.get("replicated"):
+            n_data = self.mesh.shape.get("data", 1)
+            if imgs.shape[0] % n_data == 0:
+                sharding = self._data_sharding
+                if self._n_spatial > 1 and imgs.shape[1] % self._n_spatial != 0:
+                    sharding = self._vec_sharding
+                put = lambda s, x: jax.make_array_from_process_local_data(
+                    s, x, x.shape)  # local IS global: identical on every host
+                return put(sharding, imgs), put(sharding, masks), None
+            batch = dict(batch, replicated=True)
         if batch.get("replicated"):
             # partial train batch: every process loaded the full batch —
             # run it replicated (exact math, mirrors the single-process
@@ -587,6 +602,12 @@ class Trainer:
         """Restore full training state; sets start_epoch to epoch+1."""
         template = self._state_to_tree(state, 0)
         tree = ckpt_util.restore_pytree(path, template)
+        if self._multihost:
+            # every process restored the same shared-filesystem checkpoint;
+            # make that bit-exact by construction (process 0's bytes win)
+            from dfc_sa_unet_tpu.parallel import multihost as mh
+
+            tree = mh.broadcast_tree(tree)
         opt_state = jax.tree.unflatten(
             jax.tree.structure(state.opt_state), [jnp.asarray(l) for l in tree["opt_leaves"]]
         )

@@ -54,20 +54,25 @@ def _mini_net():
 
 
 def train_once(train_dir, val_dir, log_dir, shard=None, pad_multiple=1,
-               epochs=2):
+               epochs=2, spatial=1, split_resume=False):
     """Train the shared recipe; returns comparable host-side results.
 
     ``shard=None`` is the single-process reference; ``shard=(pid, nproc)``
     is one member of a cluster (jax.distributed must already be up).
     Uses drop_last=False so the partial train batch (20 % 8 = 4) takes the
     replicate policy and the partial val batch (10 % 8 = 2) takes the
-    pad+mask policy — both exactness paths run.
+    pad+mask policy — both exactness paths run.  ``spatial>1`` builds the
+    2-D ('data', 'spatial') mesh instead of the 1-D data mesh.
+    ``split_resume`` trains epoch 1, tears the Trainer down, and resumes
+    a fresh one from the checkpoint for the rest — the preemption story;
+    in a cluster ``log_dir`` must then be shared by every process (the
+    primary writes the checkpoint the others restore).
     """
     import jax
     import numpy as np
 
     from dfc_sa_unet_tpu.data.loader import DataLoaderFactory
-    from dfc_sa_unet_tpu.parallel import data_parallel_mesh
+    from dfc_sa_unet_tpu.parallel import data_parallel_mesh, serving_mesh
     from dfc_sa_unet_tpu.train.trainer import Trainer
 
     cfg = _config(train_dir, val_dir, log_dir, epochs=epochs)
@@ -76,10 +81,20 @@ def train_once(train_dir, val_dir, log_dir, shard=None, pad_multiple=1,
         drop_last=False, shard=shard, shard_pad_multiple=pad_multiple)
     val_loader = factory.get_val_loader(
         shard=shard, shard_pad_multiple=pad_multiple)
-    mesh = data_parallel_mesh()
+    mesh = serving_mesh(spatial=spatial) if spatial > 1 else data_parallel_mesh()
+    if split_resume:
+        from dfc_sa_unet_tpu.parallel import multihost as mh
+        from dfc_sa_unet_tpu.utils.checkpoint import latest_epoch_checkpoint
+
+        cfg1 = _config(train_dir, val_dir, log_dir, epochs=1)
+        Trainer(_mini_net(), train_loader, val_loader, cfg1,
+                mesh=mesh, seed=0).train()
+        mh.sync("ckpt_written")  # the primary's checkpoint must exist
+        ckpt = latest_epoch_checkpoint(os.path.join(log_dir, "checkpoints"))
+        assert ckpt is not None, f"no epoch checkpoint under {log_dir}"
     trainer = Trainer(_mini_net(), train_loader, val_loader, cfg,
                       mesh=mesh, seed=0)
-    state = trainer.train()
+    state = trainer.train(resume_from=ckpt if split_resume else None)
     trainer.save_k = len(val_loader.dataset)  # final pass returns ALL samples
     val = trainer.validate_epoch(state)
     records = sorted(val["best_samples"])  # (dice, iou, fname) for every sample
@@ -106,6 +121,8 @@ def main():
     p.add_argument("--val_dir", required=True)
     p.add_argument("--log_dir", required=True)
     p.add_argument("--out", required=True)
+    p.add_argument("--spatial", type=int, default=1)
+    p.add_argument("--split_resume", action="store_true")
     args = p.parse_args()
 
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -120,10 +137,18 @@ def main():
     assert len(jax.devices()) == args.nproc * args.local_devices, (
         f"cluster formed {len(jax.devices())} devices, expected "
         f"{args.nproc * args.local_devices}")
-    pad_multiple = len(jax.devices()) // mh.process_count()
+    # mirror train.py's shard decision: per-process loader chunks only
+    # when the mesh's data axis divides evenly across processes; else
+    # every process loads full batches (the trainer slices on device)
+    n_data = len(jax.devices()) // max(args.spatial, 1)
+    if n_data % mh.process_count() == 0:
+        shard = mh.shard_for_this_process()
+        pad_multiple = n_data // mh.process_count()
+    else:
+        shard, pad_multiple = None, 1
     results = train_once(args.train_dir, args.val_dir, args.log_dir,
-                         shard=mh.shard_for_this_process(),
-                         pad_multiple=pad_multiple)
+                         shard=shard, pad_multiple=pad_multiple,
+                         spatial=args.spatial, split_resume=args.split_resume)
     if mh.is_primary():
         import numpy as np
 

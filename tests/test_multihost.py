@@ -122,27 +122,24 @@ def _free_port():
     return port
 
 
-@pytest.mark.slow  # ~4 min on the 1-core host: 2 subprocesses x full XLA compiles
-def test_two_process_cluster_matches_single_process(data, tmp_path):
-    """2 processes x 4 devices (Gloo collectives) == 1 process x 8 devices:
-    final params, epoch history, and per-sample validation Dice all match.
-    Covers global-batch assembly, cross-process grad/BN reductions, the
-    replicate policy for the partial train batch, the pad+mask policy for
-    the partial val batch (incl. one process holding only padding rows),
-    and the per-sample allgather."""
+def _run_cluster(data, tmp_path, spatial=1, split_resume=False):
+    """Launch a 2-process x 4-device cluster run; return its npz results."""
     train, val, _ = data
-    ref = worker.train_once(train, val, str(tmp_path / "ref_logs"))
-
     port = _free_port()
-    out = str(tmp_path / "cluster.npz")
+    out = str(tmp_path / f"cluster_s{spatial}.npz")
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(REPO, "tests", "_multihost_worker.py"),
              "--pid", str(p), "--nproc", "2", "--port", str(port),
-             "--train_dir", train, "--val_dir", val,
-             "--log_dir", str(tmp_path / f"mh_logs_{p}"), "--out", out],
+             "--train_dir", train, "--val_dir", val, "--spatial", str(spatial),
+             # split_resume restores the PRIMARY's checkpoint on every
+             # process — the log dir must be shared, as on a real pod
+             "--log_dir", str(tmp_path / ("mh_logs_shared" if split_resume
+                                          else f"mh_logs_s{spatial}_{p}")),
+             "--out", out]
+            + (["--split_resume"] if split_resume else []),
             env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
@@ -151,8 +148,10 @@ def test_two_process_cluster_matches_single_process(data, tmp_path):
     logs = [p.communicate(timeout=600)[0] for p in procs]
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"worker {p.args[4]} failed:\n{log[-4000:]}"
-    got = np.load(out, allow_pickle=False)
+    return np.load(out, allow_pickle=False)
 
+
+def _assert_matches(got, ref):
     np.testing.assert_allclose(
         got["params_flat"], ref["params_flat"], rtol=1e-5, atol=1e-6)
     for k in ref:
@@ -166,3 +165,44 @@ def test_two_process_cluster_matches_single_process(data, tmp_path):
     for name, dice in ref_map.items():
         np.testing.assert_allclose(got_map[name], dice, rtol=1e-5, atol=1e-6,
                                    err_msg=name)
+
+
+@pytest.mark.slow  # ~4 min on the 1-core host: 2 subprocesses x full XLA compiles
+def test_two_process_cluster_matches_single_process(data, tmp_path):
+    """2 processes x 4 devices (Gloo collectives) == 1 process x 8 devices:
+    final params, epoch history, and per-sample validation Dice all match.
+    Covers global-batch assembly, cross-process grad/BN reductions, the
+    replicate policy for the partial train batch, the pad+mask policy for
+    the partial val batch (incl. one process holding only padding rows),
+    and the per-sample allgather."""
+    train, val, _ = data
+    ref = worker.train_once(train, val, str(tmp_path / "ref_logs"))
+    _assert_matches(_run_cluster(data, tmp_path), ref)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("spatial", [2, 8])
+def test_two_process_cluster_spatial(data, tmp_path, spatial):
+    """Multi-host x 2-D ('data','spatial') mesh == single-process, same mesh.
+
+    spatial=2 (data=4): per-process loader chunks on a 2-D mesh —
+    batch rows AND image rows shard, halo exchanges stay intra-process.
+    spatial=8 (data=1): the data axis is smaller than the process count,
+    so every process loads FULL batches (train.py's fallback, mirrored in
+    the worker) and the trainer slices them on device via an explicit
+    global_shape; conv halo exchanges cross the process boundary (Gloo)."""
+    train, val, _ = data
+    ref = worker.train_once(train, val, str(tmp_path / "ref_logs"),
+                            spatial=spatial)
+    _assert_matches(_run_cluster(data, tmp_path, spatial=spatial), ref)
+
+
+@pytest.mark.slow
+def test_two_process_cluster_resume(data, tmp_path):
+    """Pod-scale preemption/resume: train epoch 1 in the cluster, tear the
+    Trainer down, resume every process from the primary's checkpoint
+    (shared log dir) — the final state matches an uninterrupted straight
+    2-epoch single-process run: params, history, per-sample Dice."""
+    train, val, _ = data
+    ref = worker.train_once(train, val, str(tmp_path / "ref_logs"))
+    _assert_matches(_run_cluster(data, tmp_path, split_resume=True), ref)

@@ -146,10 +146,23 @@ def main():
     factory = DataLoaderFactory(config, seed=args.seed)
     shard = mh.shard_for_this_process()
     if shard is not None and mesh is not None:
+        n_data = mesh.shape.get("data", 1)
+        if n_data % mh.process_count() != 0:
+            # e.g. --spatial_parallel 8 on 2 hosts x 4 chips: the batch
+            # axis spans fewer groups than there are processes, so a
+            # per-process contiguous chunk cannot line up with any
+            # process's addressable shards — every process loads full
+            # batches instead (the trainer slices/replicates on device)
+            if mh.is_primary():
+                print(f"(multihost: mesh data axis {n_data} is not divisible "
+                      f"by {mh.process_count()} processes; every process "
+                      f"loads full batches)")
+            shard = None
+    if shard is not None and mesh is not None:
         # each process loads only its contiguous chunk of every global
         # batch; chunks must be divisible by this process's share of the
         # mesh's data axis so the assembled array shards evenly
-        pad_multiple = max(1, mesh.shape.get("data", 1) // mh.process_count())
+        pad_multiple = mesh.shape.get("data", 1) // mh.process_count()
         train_loader = factory.get_train_loader(
             drop_last=True, shard=shard, shard_pad_multiple=pad_multiple)
         val_loader = factory.get_val_loader(

@@ -44,6 +44,8 @@ __all__ = [
     "global_batch",
     "host_local",
     "gather_rows",
+    "gather_rows_many",
+    "any_flag",
     "broadcast_tree",
     "sync",
     "shard_for_this_process",
@@ -119,30 +121,41 @@ def global_batch(local_tree, sharding):
     )
 
 
-def host_local(arr, batch_axis: int = 0):
-    """This host's rows of a batch-sharded global array, as numpy.
+def _local_rows(arr, batch_axis: int = 0):
+    """(values, global row offsets) of this process's DISTINCT shards.
 
-    Shards are concatenated in global-row order (the inverse of
-    :func:`global_batch`), so row i of the result is the i-th local row
-    this process contributed.  Used to pull per-sample metrics back for
-    host-side selection (best/worst-K) without gathering other hosts'
-    shards.
+    On a 2-D ('data','spatial') mesh a [B] vector is sharded over 'data'
+    but REPLICATED along 'spatial' — every spatial device holds the same
+    slice; keeping one shard per distinct index avoids duplicating rows.
     """
-    if not isinstance(arr, jax.Array) or arr.is_fully_replicated:
-        a = np.asarray(arr)
-        # fully-replicated arrays carry every host's rows; callers want
-        # only this host's slice when the batch was process-sharded
-        return a
-    # on a 2-D ('data','spatial') mesh a [B] vector is sharded over 'data'
-    # but REPLICATED along 'spatial' — every spatial device holds the same
-    # slice; keep one shard per distinct index or the rows would duplicate
     shards = {}
     for s in arr.addressable_shards:
         key = tuple((sl.start, sl.stop) for sl in s.index)
         shards.setdefault(key, s)
     ordered = sorted(shards.values(),
                      key=lambda s: s.index[batch_axis].start or 0)
-    return np.concatenate([np.asarray(s.data) for s in ordered], axis=batch_axis)
+    vals = np.concatenate([np.asarray(s.data) for s in ordered],
+                          axis=batch_axis)
+    offs = np.concatenate([
+        np.arange(s.index[batch_axis].start or 0,
+                  (s.index[batch_axis].start or 0) + s.data.shape[batch_axis])
+        for s in ordered
+    ]) if ordered else np.zeros((0,), np.int64)
+    return vals, offs
+
+
+def host_local(arr, batch_axis: int = 0):
+    """This process's distinct rows of a batch-sharded global array.
+
+    Rows come back in global-row order, deduplicated across replica
+    devices.  NB: for a FULLY-replicated array this returns every host's
+    rows (the whole array) — there is no per-host slice to select; use
+    :func:`gather_rows` when you need globally-ordered real rows
+    regardless of layout.
+    """
+    if not isinstance(arr, jax.Array) or arr.is_fully_replicated:
+        return np.asarray(arr)
+    return _local_rows(arr, batch_axis)[0]
 
 
 def broadcast_tree(tree):
@@ -190,26 +203,66 @@ def shard_for_this_process() -> Optional[tuple]:
     return (jax.process_index(), n) if n > 1 else None
 
 
-def gather_rows(arr, n_real: int):
-    """Global per-sample values in the original (unpadded) batch order.
+# allgathered row offsets depend only on (length, sharding) — identical
+# for every batch of the same shape, so gather them once per layout
+_OFFSETS_MEMO: dict = {}
 
-    ``arr`` is a batch-sharded global [L] array built from per-process
-    chunks of ``L / process_count`` rows each, where every process's
-    real rows are a PREFIX of its chunk (BatchLoader's shard layout).
-    Allgathers the chunks and drops each process's padding rows, so the
-    result is the [n_real] vector a single-process run would produce.
-    Host-side strings (filenames) ride alongside via the loader's
-    ``filename_global``.
+
+def gather_rows_many(arrs, n_real: int):
+    """Global per-sample values in the original (unpadded) batch order,
+    for several identically-sharded [L] arrays in ONE allgather.
+
+    Works for every layout the trainer produces: the loader's per-process
+    chunk layout (real rows sit at their global index, padding occupies
+    indices >= n_real), a full batch sharded over any data-axis size
+    (identity mapping, possibly with overlapping replica shards across
+    processes), and fully-replicated vectors.  Each process contributes
+    its distinct rows WITH their global offsets; a scatter by offset
+    reconstructs the [L] vector exactly (replicas write equal values),
+    and ``[:n_real]`` drops the padding.
     """
-    local = host_local(arr)
     if jax.process_count() == 1:
-        return local[:n_real]
+        return [np.asarray(a)[:n_real] for a in arrs]
+    a0 = arrs[0]
+    if not isinstance(a0, jax.Array) or a0.is_fully_replicated:
+        return [np.asarray(a)[:n_real] for a in arrs]
     from jax.experimental import multihost_utils
 
-    rows = np.asarray(multihost_utils.process_allgather(local))  # [nproc, chunk]
-    chunk = rows.shape[1]
-    out = []
-    for p in range(rows.shape[0]):
-        take = min(max(n_real - p * chunk, 0), chunk)
-        out.append(rows[p, :take])
-    return np.concatenate(out) if out else local[:0]
+    cols, offs = [], None
+    for a in arrs:
+        v, offs = _local_rows(a)
+        cols.append(v)
+    vals = np.stack(cols, axis=-1)  # [m, k]
+    key = (a0.shape[0], a0.sharding)
+    goffs = _OFFSETS_MEMO.get(key)
+    if goffs is None:
+        goffs = np.asarray(multihost_utils.process_allgather(offs))
+        _OFFSETS_MEMO[key] = goffs
+    gvals = np.asarray(multihost_utils.process_allgather(vals))  # [nproc, m, k]
+    out = np.zeros((a0.shape[0], len(arrs)), vals.dtype)
+    out[goffs.reshape(-1)] = gvals.reshape(-1, len(arrs))
+    return [out[:n_real, j] for j in range(len(arrs))]
+
+
+def gather_rows(arr, n_real: int):
+    """Global per-sample values in the original batch order (see
+    :func:`gather_rows_many`)."""
+    return gather_rows_many([arr], n_real)[0]
+
+
+def any_flag(flag: bool) -> bool:
+    """True iff ANY process passes True.
+
+    A tiny collective so every process takes the same control-flow
+    decision — e.g. the preemption stop: SIGTERM reaches each process at
+    a different moment, and a process breaking out of the step loop
+    alone would desynchronize the training collectives (the others would
+    block forever in the next all-reduce).  Must be called by every
+    process the same number of times.
+    """
+    if jax.process_count() == 1:
+        return bool(flag)
+    from jax.experimental import multihost_utils
+
+    flags = multihost_utils.process_allgather(np.asarray(flag, np.int32))
+    return bool(np.asarray(flags).any())

@@ -163,6 +163,8 @@ class Trainer:
         # written by process 0 only (parallel/multihost.py).
         self._multihost = jax.process_count() > 1
         self._is_primary = jax.process_index() == 0
+        self._warned_replicated = False
+        self._warned_spatial = False
 
     def _replicate_state(self, state):
         """Place a host-local state pytree replicated on the mesh.
@@ -173,11 +175,34 @@ class Trainer:
         """
         if not self._multihost:
             return jax.device_put(state, self._replicated)
-        return jax.tree.map(
-            lambda x: jax.make_array_from_process_local_data(
-                self._replicated, np.asarray(x)),
-            state,
-        )
+        from dfc_sa_unet_tpu.parallel import multihost as mh
+
+        return mh.global_batch(state, self._replicated)
+
+    def _batch_sharding(self, height: int):
+        """Data(-x-spatial) sharding for an image batch.
+
+        When the height doesn't divide the mesh's spatial axis, padding
+        rows would perturb the bottom-edge conv math and the BN
+        statistics — stay exact and shard the batch dimension only,
+        warning once.
+        """
+        if self._n_spatial > 1 and height % self._n_spatial != 0:
+            if not self._warned_spatial:
+                self._warned_spatial = True
+                print(f"Warning: image height {height} is not divisible "
+                      f"by the mesh's spatial axis ({self._n_spatial}); "
+                      f"sharding the batch dimension only.")
+            return self._vec_sharding
+        return self._data_sharding
+
+    def _warn_replicated(self, n: int):
+        if not self._warned_replicated:
+            self._warned_replicated = True
+            print(f"Warning: train batch of {n} is not divisible by the "
+                  f"mesh's data axis; running it replicated (exact math, "
+                  f"no data-parallel speedup). Size batches to a multiple "
+                  f"of the data-axis size to avoid this.")
 
     # ---------------------------------------------------------------- state
 
@@ -378,25 +403,9 @@ class Trainer:
                         [jnp.ones((n,), jnp.float32), jnp.zeros((pad,), jnp.float32)]
                     )
                 else:
-                    if not getattr(self, "_warned_replicated", False):
-                        self._warned_replicated = True
-                        print(
-                            f"Warning: train batch of {n} is not divisible by the "
-                            f"{n_dev}-device mesh; running it replicated (exact math, "
-                            f"no data-parallel speedup). Size batches to a multiple "
-                            f"of {n_dev} to avoid this."
-                        )
+                    self._warn_replicated(n)
                     return imgs, masks, None
-            sharding = self._data_sharding
-            if self._n_spatial > 1 and imgs.shape[1] % self._n_spatial != 0:
-                # padding rows would perturb the bottom-edge conv math and
-                # the BN statistics — stay exact, shard the batch dim only
-                if not getattr(self, "_warned_spatial", False):
-                    self._warned_spatial = True
-                    print(f"Warning: image height {imgs.shape[1]} is not divisible "
-                          f"by the mesh's spatial axis ({self._n_spatial}); "
-                          f"sharding the batch dimension only.")
-                sharding = self._vec_sharding
+            sharding = self._batch_sharding(imgs.shape[1])
             imgs = jax.device_put(imgs, sharding)
             masks = jax.device_put(masks, sharding)
             if valid is not None:
@@ -419,30 +428,25 @@ class Trainer:
         every process the FULL batch; it is sliced onto the devices via
         an explicit ``global_shape`` when divisible, else run replicated.
         """
+        from dfc_sa_unet_tpu.parallel import multihost as mh
+
         imgs = np.asarray(batch["image"])
         masks = np.asarray(batch["mask"])
         if "filename_global" not in batch and not batch.get("replicated"):
             n_data = self.mesh.shape.get("data", 1)
             if imgs.shape[0] % n_data == 0:
-                sharding = self._data_sharding
-                if self._n_spatial > 1 and imgs.shape[1] % self._n_spatial != 0:
-                    sharding = self._vec_sharding
-                put = lambda s, x: jax.make_array_from_process_local_data(
-                    s, x, x.shape)  # local IS global: identical on every host
-                return put(sharding, imgs), put(sharding, masks), None
+                sharding = self._batch_sharding(imgs.shape[1])
+                put = lambda x: jax.make_array_from_process_local_data(
+                    sharding, x, x.shape)  # local IS global: same on every host
+                return put(imgs), put(masks), None
             batch = dict(batch, replicated=True)
         if batch.get("replicated"):
             # partial train batch: every process loaded the full batch —
             # run it replicated (exact math, mirrors the single-process
             # mesh fallback; padding would perturb BN batch statistics)
-            if not getattr(self, "_warned_replicated", False):
-                self._warned_replicated = True
-                print(
-                    f"Warning: train batch of {imgs.shape[0]} is not divisible by "
-                    f"the mesh; running it replicated (exact math, no speedup)."
-                )
-            put = lambda x: jax.make_array_from_process_local_data(self._replicated, x)
-            return put(imgs), put(masks), None
+            self._warn_replicated(imgs.shape[0])
+            g = mh.global_batch((imgs, masks), self._replicated)
+            return g[0], g[1], None
         valid = batch.get("valid")
         if valid is not None and not pad_to_devices:
             raise ValueError(
@@ -450,14 +454,7 @@ class Trainer:
                 "train loader with partial='replicate' (padding perturbs "
                 "BatchNorm batch statistics)"
             )
-        sharding = self._data_sharding
-        if self._n_spatial > 1 and imgs.shape[1] % self._n_spatial != 0:
-            if not getattr(self, "_warned_spatial", False):
-                self._warned_spatial = True
-                print(f"Warning: image height {imgs.shape[1]} is not divisible "
-                      f"by the mesh's spatial axis ({self._n_spatial}); "
-                      f"sharding the batch dimension only.")
-            sharding = self._vec_sharding
+        sharding = self._batch_sharding(imgs.shape[1])
         g_imgs = jax.make_array_from_process_local_data(sharding, imgs)
         g_masks = jax.make_array_from_process_local_data(sharding, masks)
         g_valid = None
@@ -510,7 +507,7 @@ class Trainer:
             progress.set_postfix(
                 loss=sums["loss"] / n_used, iou=sums["iou"] / n_used, dice=sums["dice"] / n_used
             )
-            if self._stop_requested.is_set():
+            if self._check_stop():
                 break
         progress.close()
         if timer.steps and self._is_primary:
@@ -551,8 +548,9 @@ class Trainer:
                 from dfc_sa_unet_tpu.parallel import multihost as mh
 
                 names = batch.get("filename_global", batch["filename"])
-                ps_dice = mh.gather_rows(metrics["per_sample_dice"], len(names))
-                ps_iou = mh.gather_rows(metrics["per_sample_iou"], len(names))
+                ps_dice, ps_iou = mh.gather_rows_many(
+                    [metrics["per_sample_dice"], metrics["per_sample_iou"]],
+                    len(names))
             else:
                 names = batch["filename"]
                 ps_dice = np.asarray(metrics["per_sample_dice"])
@@ -655,6 +653,23 @@ class Trainer:
             mask = (mask_u8 >= 128).astype(np.float32)[..., None]
             save_prediction_samples(img_norm, probs, mask, [fname], out_dir)
 
+    def _check_stop(self) -> bool:
+        """Preemption stop flag, agreed on by EVERY process.
+
+        SIGTERM lands on each process at a different moment; a process
+        leaving the step loop alone would desynchronize the training
+        collectives (the rest would block forever in the next
+        all-reduce).  In multihost mode the local flag is OR-reduced
+        across processes — checked once per train step and once per
+        epoch, at the same program point on every process.
+        """
+        stop = self._stop_requested.is_set()
+        if self._multihost:
+            from dfc_sa_unet_tpu.parallel import multihost as mh
+
+            stop = mh.any_flag(stop)
+        return stop
+
     def _install_preemption_handler(self):
         if threading.current_thread() is not threading.main_thread():
             return
@@ -678,9 +693,10 @@ class Trainer:
         if self._is_primary:
             print(f"Using loss: {self.loss_type} params={self.loss_params}")
         for epoch in range(self.start_epoch, self.num_epochs):
-            if self._stop_requested.is_set():
+            if self._check_stop():
                 self.save_checkpoint(state, epoch - 1)
-                print(f"Preemption checkpoint saved at epoch {epoch}; exiting")
+                if self._is_primary:
+                    print(f"Preemption checkpoint saved at epoch {epoch}; exiting")
                 break
             state, (tr_loss, tr_iou, tr_dice) = self.train_epoch(state, epoch)
             val = self.validate_epoch(state)

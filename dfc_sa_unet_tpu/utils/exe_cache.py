@@ -111,12 +111,26 @@ def _dry_run(exe, args) -> None:
     entries (sharded/replicated TrainState) verify rather than failing
     on layout mismatch.  The dummies are themselves donated/consumed —
     that's fine, they are garbage.  Raises on any failure."""
+    import numpy as np
+
     def _dummy(a):
         if not hasattr(a, "shape"):
             return a
-        z = jnp.zeros(a.shape, a.dtype)
         sharding = getattr(a, "sharding", None)
-        return jax.device_put(z, sharding) if sharding is not None else z
+        if sharding is None:
+            return jnp.zeros(a.shape, a.dtype)
+        if jax.process_count() > 1:
+            # device_put cannot target another process's devices; build
+            # the global dummy from per-device zero callbacks instead
+            def _zeros(idx):
+                shape = tuple(
+                    (sl.stop if sl.stop is not None else d)
+                    - (sl.start or 0)
+                    for sl, d in zip(idx, a.shape))
+                return np.zeros(shape, a.dtype)
+
+            return jax.make_array_from_callback(a.shape, sharding, _zeros)
+        return jax.device_put(jnp.zeros(a.shape, a.dtype), sharding)
 
     dummies = jax.tree.map(_dummy, args)
     jax.block_until_ready(exe(*dummies))
@@ -151,7 +165,9 @@ def cached_compile(jitted: Callable, cache_dir: str, tag: str, *args,
         exe = jitted.lower(*args).compile()
         try:
             payload, in_tree, out_tree = se.serialize(exe)
-            tmp = path + ".tmp"
+            # unique per writer: in multihost runs every process computes
+            # the same key and may share the cache dir via a network fs
+            tmp = f"{path}.tmp.{jax.process_index()}.{os.getpid()}"
             with open(tmp, "wb") as f:
                 pickle.dump((payload, in_tree, out_tree), f)
             os.replace(tmp, path)

@@ -53,8 +53,31 @@ def _mini_net():
     return MiniNet()
 
 
+def _preempting_trainer_cls(preempt_at_step):
+    """Trainer that SIGTERMs ITSELF at the Nth stop-check — models an
+    asynchronous preemption signal reaching only one pod process; the
+    collective _check_stop must still stop every process together."""
+    import os
+    import signal
+    import time
+
+    from dfc_sa_unet_tpu.train.trainer import Trainer
+
+    class PreemptingTrainer(Trainer):
+        _stop_checks = 0
+
+        def _check_stop(self):
+            type(self)._stop_checks += 1
+            if type(self)._stop_checks == preempt_at_step:
+                signal.raise_signal(signal.SIGTERM)
+                time.sleep(0.2)  # let the handler set the event
+            return super()._check_stop()
+
+    return PreemptingTrainer
+
+
 def train_once(train_dir, val_dir, log_dir, shard=None, pad_multiple=1,
-               epochs=2, spatial=1, split_resume=False):
+               epochs=2, spatial=1, split_resume=False, preempt_at_step=None):
     """Train the shared recipe; returns comparable host-side results.
 
     ``shard=None`` is the single-process reference; ``shard=(pid, nproc)``
@@ -92,8 +115,10 @@ def train_once(train_dir, val_dir, log_dir, shard=None, pad_multiple=1,
         mh.sync("ckpt_written")  # the primary's checkpoint must exist
         ckpt = latest_epoch_checkpoint(os.path.join(log_dir, "checkpoints"))
         assert ckpt is not None, f"no epoch checkpoint under {log_dir}"
-    trainer = Trainer(_mini_net(), train_loader, val_loader, cfg,
-                      mesh=mesh, seed=0)
+    cls = (Trainer if preempt_at_step is None
+           else _preempting_trainer_cls(preempt_at_step))
+    trainer = cls(_mini_net(), train_loader, val_loader, cfg,
+                  mesh=mesh, seed=0)
     state = trainer.train(resume_from=ckpt if split_resume else None)
     trainer.save_k = len(val_loader.dataset)  # final pass returns ALL samples
     val = trainer.validate_epoch(state)
@@ -123,6 +148,9 @@ def main():
     p.add_argument("--out", required=True)
     p.add_argument("--spatial", type=int, default=1)
     p.add_argument("--split_resume", action="store_true")
+    p.add_argument("--preempt_at_step", type=int, default=None,
+                   help="SIGTERM THIS process at its Nth stop-check "
+                        "(async-preemption test: pass to one worker only)")
     args = p.parse_args()
 
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -148,11 +176,15 @@ def main():
         shard, pad_multiple = None, 1
     results = train_once(args.train_dir, args.val_dir, args.log_dir,
                          shard=shard, pad_multiple=pad_multiple,
-                         spatial=args.spatial, split_resume=args.split_resume)
-    if mh.is_primary():
-        import numpy as np
+                         spatial=args.spatial, split_resume=args.split_resume,
+                         preempt_at_step=args.preempt_at_step)
+    import numpy as np
 
+    if mh.is_primary():
         np.savez(args.out, **results)
+    else:
+        # the async-preemption test compares every process's final state
+        np.savez(args.out.replace(".npz", f".p{args.pid}.npz"), **results)
     mh.sync("done")
     return 0
 

@@ -122,8 +122,12 @@ def _free_port():
     return port
 
 
-def _run_cluster(data, tmp_path, spatial=1, split_resume=False):
-    """Launch a 2-process x 4-device cluster run; return its npz results."""
+def _run_cluster(data, tmp_path, spatial=1, split_resume=False,
+                 extra_args=None, return_logs=False):
+    """Launch a 2-process x 4-device cluster run; return its npz results.
+
+    ``extra_args``: {pid: [argv...]} appended to that worker only (e.g.
+    the async-preemption flag goes to a single process)."""
     train, val, _ = data
     port = _free_port()
     out = str(tmp_path / f"cluster_s{spatial}.npz")
@@ -139,7 +143,8 @@ def _run_cluster(data, tmp_path, spatial=1, split_resume=False):
              "--log_dir", str(tmp_path / ("mh_logs_shared" if split_resume
                                           else f"mh_logs_s{spatial}_{p}")),
              "--out", out]
-            + (["--split_resume"] if split_resume else []),
+            + (["--split_resume"] if split_resume else [])
+            + (extra_args or {}).get(p, []),
             env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
@@ -147,8 +152,9 @@ def _run_cluster(data, tmp_path, spatial=1, split_resume=False):
     ]
     logs = [p.communicate(timeout=600)[0] for p in procs]
     for p, log in zip(procs, logs):
-        assert p.returncode == 0, f"worker {p.args[4]} failed:\n{log[-4000:]}"
-    return np.load(out, allow_pickle=False)
+        assert p.returncode == 0, f"worker pid={p.args[3]} failed:\n{log[-4000:]}"
+    got = np.load(out, allow_pickle=False)
+    return (got, logs) if return_logs else got
 
 
 def _assert_matches(got, ref):
@@ -195,6 +201,28 @@ def test_two_process_cluster_spatial(data, tmp_path, spatial):
     ref = worker.train_once(train, val, str(tmp_path / "ref_logs"),
                             spatial=spatial)
     _assert_matches(_run_cluster(data, tmp_path, spatial=spatial), ref)
+
+
+@pytest.mark.slow
+def test_two_process_cluster_async_preemption(data, tmp_path):
+    """SIGTERM reaching ONE process mid-epoch stops the WHOLE cluster
+    cleanly: the collective stop check (Trainer._check_stop) OR-reduces
+    the flag so both processes leave the step loop at the same batch —
+    no desynchronized collectives, a preemption checkpoint is written,
+    and every process holds the identical final state."""
+    train, val, _ = data
+    got0, logs = _run_cluster(
+        data, tmp_path,
+        extra_args={0: ["--preempt_at_step", "2"]},  # process 0 only
+        return_logs=True)
+    got1 = np.load(str(tmp_path / "cluster_s1.p1.npz"), allow_pickle=False)
+    # training actually stopped early (1 partial epoch, not the full 2)
+    assert got0["hist_train_losses"].shape[0] == 1
+    # both processes agreed on the stop and hold bit-identical state
+    np.testing.assert_array_equal(got0["params_flat"], got1["params_flat"])
+    assert "Preemption checkpoint saved" in logs[0]
+    ckpts = os.listdir(str(tmp_path / "mh_logs_s1_0" / "checkpoints"))
+    assert any(c.startswith("checkpoint_epoch_") for c in ckpts), ckpts
 
 
 @pytest.mark.slow

@@ -136,10 +136,16 @@ def main():
             print(f"2-D training mesh: data={mesh.shape['data']} x "
                   f"spatial={args.spatial_parallel} over {len(devices)} devices")
         else:
+            # fall through to data parallelism when requested (always in
+            # --multihost runs): every pod process training an independent
+            # single-chip copy would be silent N-fold redundant work
+            fallback = ("falling back to data parallelism"
+                        if args.data_parallel and len(devices) > 1
+                        else "running single-chip")
             print(f"(--spatial_parallel {args.spatial_parallel}: needs a multiple "
                   f"of {args.spatial_parallel} devices, have {len(devices)}; "
-                  f"running single-chip)")
-    elif args.data_parallel and len(devices) > 1:
+                  f"{fallback})")
+    if mesh is None and args.data_parallel and len(devices) > 1:
         mesh = jax.sharding.Mesh(devices, ("data",))
         print(f"Data-parallel over {len(devices)} devices")
 

@@ -20,15 +20,21 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def data_parallel_mesh(num_devices: Optional[int] = None, axis: str = "data") -> Mesh:
-    """1-D mesh over the first ``num_devices`` visible devices (all by default)."""
-    devices = jax.devices()
+def data_parallel_mesh(num_devices: Optional[int] = None, axis: str = "data",
+                       devices=None) -> Mesh:
+    """1-D mesh over the first ``num_devices`` visible devices (all by
+    default), or over an explicit ``devices`` list — e.g.
+    ``jax.local_devices()`` for per-process serving in a multi-host
+    runtime, where each process drives its own chips independently."""
+    if devices is None:
+        devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
     return Mesh(np.array(devices), (axis,))
 
 
-def serving_mesh(spatial: int = 1, num_devices: Optional[int] = None) -> Mesh:
+def serving_mesh(spatial: int = 1, num_devices: Optional[int] = None,
+                 devices=None) -> Mesh:
     """2-D ``('data', 'spatial')`` mesh for inference.
 
     ``spatial=1`` degenerates to pure data parallelism (every device holds
@@ -43,7 +49,8 @@ def serving_mesh(spatial: int = 1, num_devices: Optional[int] = None) -> Mesh:
     Image height must be divisible by ``spatial`` (the Predictor falls back
     to data-only sharding per offending shape otherwise).
     """
-    devices = jax.devices()
+    if devices is None:
+        devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
     n = len(devices)

@@ -81,6 +81,16 @@ def save_prediction(original_image, pred_prob, pred_binary, output_dir, filename
 def main(args):
     import cv2
 
+    from dfc_sa_unet_tpu.parallel import multihost as mh
+
+    if args.multihost or args.coordinator:
+        # pod serving: every process drives its own chips over a strided
+        # shard of the file list (no cross-host collectives); artifacts
+        # land in the shared output dir and the primary merges the CSVs
+        mh.initialize(args.coordinator, args.num_processes, args.process_id)
+    nproc, pid = jax.process_count(), jax.process_index()
+    primary = pid == 0
+
     config = load_config(_norm(args.config))
     img = config["dataset"].get("img_size", [224, 224])
     img_size = (img, img) if isinstance(img, int) else tuple(img)
@@ -104,10 +114,15 @@ def main(args):
     )
     model = ModelFactory.get_model(config, dtype=dtype, use_pallas=use_pallas)
     variables = load_model_variables(model, model_path, img_size, config["model"].get("in_channels", 3))
-    print(f"Model {config['model'].get('name')} ready on {jax.devices()[0]}")
-    if args.tta:
-        print("Test-time augmentation (TTA) enabled.")
-    print("Mode: " + ("direct prediction" if args.no_slide_window else "sliding window"))
+    if primary:
+        print(f"Model {config['model'].get('name')} ready on {jax.local_devices()[0]}")
+        if nproc > 1:
+            print(f"Multi-host serving: {nproc} processes x "
+                  f"{jax.local_device_count()} local devices; file list "
+                  f"shards round-robin; output dir must be shared.")
+        if args.tta:
+            print("Test-time augmentation (TTA) enabled.")
+        print("Mode: " + ("direct prediction" if args.no_slide_window else "sliding window"))
 
     output_dir = _norm(args.output)
     os.makedirs(output_dir, exist_ok=True)
@@ -182,30 +197,38 @@ def main(args):
             if args.int8:
                 salt_tree["scales"] = dict(engine.act_scales)
             cache_salt = ("int8:" if args.int8 else "engine:") + tree_fingerprint(salt_tree)
+    # the global file-list order drives int8 calibration (above) and the
+    # merged CSV order (below); each process then serves a strided shard
+    global_files = image_files
+    if nproc > 1:
+        image_files = image_files[pid::nproc]
     mesh = None
+    # multi-host serving meshes span only THIS process's chips — each
+    # process is an independent server over its shard; no collectives
+    devices = jax.local_devices() if nproc > 1 else jax.devices()
     if args.spatial_parallel > 1:
-        devices = jax.devices()
         if len(devices) % args.spatial_parallel == 0 and len(devices) > 1:
             from dfc_sa_unet_tpu.parallel import serving_mesh
 
-            mesh = serving_mesh(spatial=args.spatial_parallel)
-            print(f"2-D serving mesh over {len(devices)} devices: "
-                  f"data={mesh.shape['data']} x spatial={args.spatial_parallel} "
-                  f"(image rows shard too — XLA inserts conv halo exchanges; "
-                  f"exact, no tile seams).")
-        else:
+            mesh = serving_mesh(spatial=args.spatial_parallel, devices=devices)
+            if primary:
+                print(f"2-D serving mesh over {len(devices)} devices: "
+                      f"data={mesh.shape['data']} x spatial={args.spatial_parallel} "
+                      f"(image rows shard too — XLA inserts conv halo exchanges; "
+                      f"exact, no tile seams).")
+        elif primary:
             print(f"(--spatial_parallel {args.spatial_parallel}: needs a multiple "
                   f"of {args.spatial_parallel} devices, have {len(devices)}; "
                   f"running single-chip)")
     elif args.data_parallel:
-        devices = jax.devices()
         if len(devices) > 1:
             from dfc_sa_unet_tpu.parallel import data_parallel_mesh
 
-            mesh = data_parallel_mesh()
-            print(f"Data-parallel serving over {len(devices)} devices "
-                  f"(batches shard on 'data'; variables replicated).")
-        else:
+            mesh = data_parallel_mesh(devices=devices)
+            if primary:
+                print(f"Data-parallel serving over {len(devices)} devices "
+                      f"(batches shard on 'data'; variables replicated).")
+        elif primary:
             print("(--data_parallel: only one device visible; running single-chip)")
     predictor = Predictor(model, variables, compute_dtype=dtype, apply_fn=apply_fn,
                           exe_cache_dir=args.exe_cache, cache_salt=cache_salt,
@@ -279,7 +302,8 @@ def main(args):
                 yield filename, original, gt_gray, pred_prob
 
     for filename, original, gt_gray, pred_prob in tqdm(
-        predicted(), total=len(image_files), desc="Inference"
+        predicted(), total=len(image_files), desc="Inference",
+        disable=not primary,
     ):  # reference inference.py:264
         pred_binary = (pred_prob > args.threshold).astype(np.uint8)
 
@@ -311,6 +335,35 @@ def main(args):
             f.result()
         saver.shutdown()
 
+    if evaluate and nproc > 1:
+        # merge via the shared output dir: every process writes its rows,
+        # barrier, then the primary assembles the global CSV and summary
+        import json
+
+        part = os.path.join(output_dir, f"evaluation_metrics.part{pid}.json")
+        with open(part, "w", encoding="utf-8") as f:
+            json.dump({"rows": all_metrics, "totals": totals}, f)
+        mh.sync("eval_parts")
+        if not primary:
+            mh.sync("done")
+            return
+        all_metrics, totals = [], {"tp": 0, "fp": 0, "fn": 0, "tn": 0}
+        for p in range(nproc):
+            pp = os.path.join(output_dir, f"evaluation_metrics.part{p}.json")
+            if not os.path.exists(pp):
+                print(f"Warning: eval partial from process {p} is missing "
+                      f"(is the output dir shared?); summary covers the rest")
+                continue
+            with open(pp, encoding="utf-8") as f:
+                d = json.load(f)
+            all_metrics.extend(d["rows"])
+            for k in totals:
+                totals[k] += d["totals"][k]
+            os.remove(pp)
+        order = {os.path.splitext(os.path.basename(fp))[0]: i
+                 for i, fp in enumerate(global_files)}
+        all_metrics.sort(key=lambda m: order.get(m["file"], 1 << 30))
+
     if evaluate and all_metrics:
         g = metrics_from_counts(totals["tp"], totals["fp"], totals["fn"], totals["tn"])
         print("\n" + "=" * 80)
@@ -337,7 +390,12 @@ def main(args):
             writer.writerows(all_metrics)
         print(f"\nMetrics CSV saved to: {csv_path}")
 
-    print(f"\nInference complete. Results saved to {output_dir}")
+    if primary:
+        print(f"\nInference complete. Results saved to {output_dir}")
+    if nproc > 1:
+        # process 0 hosts the coordination service: leaving before the
+        # others finish would kill their distributed-runtime heartbeats
+        mh.sync("done")
 
 
 if __name__ == "__main__":
@@ -383,4 +441,15 @@ if __name__ == "__main__":
                              "--no_slide_window on images whose activations "
                              "exceed one chip's HBM. Height must be divisible "
                              "by this factor (else batch-only sharding)")
+    parser.add_argument("--multihost", action="store_true",
+                        help="join a multi-process (TPU pod) cluster via "
+                             "jax.distributed: each process serves a strided "
+                             "shard of the file list on its own chips "
+                             "(optionally with a LOCAL --data_parallel/"
+                             "--spatial_parallel mesh); the output dir must "
+                             "be shared — the primary merges the eval CSVs")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="coordinator host:port for explicit clusters")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     main(parser.parse_args())

@@ -226,6 +226,88 @@ def test_two_process_cluster_async_preemption(data, tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_cluster_inference(data, tmp_path):
+    """Pod serving: `inference.py --multihost` shards the file list across
+    processes (each serving on its own local devices), writes artifacts to
+    the shared output dir, and the primary merges the eval CSV — outputs
+    and metrics identical to the single-process run."""
+    import csv
+
+    import jax
+    import yaml
+
+    from dfc_sa_unet_tpu.models.factory import ModelFactory
+    from dfc_sa_unet_tpu.utils import checkpoint as ckpt_util
+
+    train, val, _ = data
+    cfg = worker._config(train, val, str(tmp_path / "unused"))
+    cfg["model"].update(name="UNet_Baseline", in_channels=3, out_channels=1,
+                        features=[8, 16, 24, 32])
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    model = ModelFactory.get_model(cfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 16, 16, 3), np.float32))
+    ckpt = str(tmp_path / "best_model")
+    ckpt_util.save_pytree(ckpt, {
+        "params": variables["params"],
+        "batch_stats": variables.get("batch_stats", {}),
+    })
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    base = [sys.executable, os.path.join(REPO, "inference.py"),
+            "--config", cfg_path, "--model", ckpt, "--input", val,
+            "--no_slide_window", "--batch_size", "4"]
+
+    ref_out = str(tmp_path / "ref_out")
+    r = subprocess.run(base + ["--output", ref_out], env=env, cwd=REPO,
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stdout[-4000:] + r.stderr[-2000:]
+
+    mh_out = str(tmp_path / "mh_out")
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            base + ["--output", mh_out, "--multihost",
+                    "--coordinator", f"localhost:{port}",
+                    "--num_processes", "2", "--process_id", str(p)],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for p in range(2)
+    ]
+    logs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"server {p.args[-1]} failed:\n{log[-4000:]}"
+
+    def read_csv(d):
+        with open(os.path.join(d, "evaluation_metrics.csv"), newline="") as f:
+            return list(csv.DictReader(f))
+
+    ref_rows, mh_rows = read_csv(ref_out), read_csv(mh_out)
+    assert [r["file"] for r in mh_rows] == [r["file"] for r in ref_rows]
+    for rr, mr in zip(ref_rows, mh_rows):
+        for k, v in rr.items():
+            if k == "file":
+                continue
+            np.testing.assert_allclose(float(mr[k]), float(v), rtol=1e-6,
+                                       err_msg=f"{rr['file']}:{k}")
+    # artifact sets match file-for-file, bytes included (same math, same
+    # encoder); every image appears exactly once despite the sharding
+    ref_files = sorted(os.listdir(ref_out))
+    assert sorted(os.listdir(mh_out)) == ref_files
+    for name in ref_files:
+        if name.endswith(".png"):
+            with open(os.path.join(ref_out, name), "rb") as a, \
+                 open(os.path.join(mh_out, name), "rb") as b:
+                assert a.read() == b.read(), name
+
+
+@pytest.mark.slow
 def test_two_process_cluster_resume(data, tmp_path):
     """Pod-scale preemption/resume: train epoch 1 in the cluster, tear the
     Trainer down, resume every process from the primary's checkpoint

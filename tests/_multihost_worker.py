@@ -17,12 +17,13 @@ import os
 import sys
 
 
-def _config(train_dir, val_dir, log_dir, epochs=2, batch=8):
+def _config(train_dir, val_dir, log_dir, epochs=2, batch=8, grad_accum=1):
     return {
         "training": {"num_epochs": epochs, "batch_size": batch,
                      "learning_rate": 0.05, "momentum": 0.9,
                      "weight_decay": 1e-4, "num_workers": 1,
                      "save_checkpoint_freq": 100, "device": "auto",
+                     "grad_accum": grad_accum,
                      "loss": {"type": "bce_dice",
                               "params": {"weight_bce": 0.5, "weight_dice": 0.5}}},
         "model": {"name": "MiniNet"},
@@ -77,7 +78,8 @@ def _preempting_trainer_cls(preempt_at_step):
 
 
 def train_once(train_dir, val_dir, log_dir, shard=None, pad_multiple=1,
-               epochs=2, spatial=1, split_resume=False, preempt_at_step=None):
+               epochs=2, spatial=1, split_resume=False, preempt_at_step=None,
+               grad_accum=1):
     """Train the shared recipe; returns comparable host-side results.
 
     ``shard=None`` is the single-process reference; ``shard=(pid, nproc)``
@@ -98,7 +100,8 @@ def train_once(train_dir, val_dir, log_dir, shard=None, pad_multiple=1,
     from dfc_sa_unet_tpu.parallel import data_parallel_mesh, serving_mesh
     from dfc_sa_unet_tpu.train.trainer import Trainer
 
-    cfg = _config(train_dir, val_dir, log_dir, epochs=epochs)
+    cfg = _config(train_dir, val_dir, log_dir, epochs=epochs,
+                  grad_accum=grad_accum)
     factory = DataLoaderFactory(cfg, seed=0)
     train_loader = factory.get_train_loader(
         drop_last=False, shard=shard, shard_pad_multiple=pad_multiple)
@@ -109,7 +112,8 @@ def train_once(train_dir, val_dir, log_dir, shard=None, pad_multiple=1,
         from dfc_sa_unet_tpu.parallel import multihost as mh
         from dfc_sa_unet_tpu.utils.checkpoint import latest_epoch_checkpoint
 
-        cfg1 = _config(train_dir, val_dir, log_dir, epochs=1)
+        cfg1 = _config(train_dir, val_dir, log_dir, epochs=1,
+                       grad_accum=grad_accum)
         Trainer(_mini_net(), train_loader, val_loader, cfg1,
                 mesh=mesh, seed=0).train()
         mh.sync("ckpt_written")  # the primary's checkpoint must exist
@@ -151,6 +155,7 @@ def main():
     p.add_argument("--preempt_at_step", type=int, default=None,
                    help="SIGTERM THIS process at its Nth stop-check "
                         "(async-preemption test: pass to one worker only)")
+    p.add_argument("--grad_accum", type=int, default=1)
     args = p.parse_args()
 
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -177,7 +182,8 @@ def main():
     results = train_once(args.train_dir, args.val_dir, args.log_dir,
                          shard=shard, pad_multiple=pad_multiple,
                          spatial=args.spatial, split_resume=args.split_resume,
-                         preempt_at_step=args.preempt_at_step)
+                         preempt_at_step=args.preempt_at_step,
+                         grad_accum=args.grad_accum)
     import numpy as np
 
     if mh.is_primary():

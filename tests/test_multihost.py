@@ -226,6 +226,21 @@ def test_two_process_cluster_async_preemption(data, tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_cluster_grad_accum_spatial(data, tmp_path):
+    """The most loaded combination: gradient accumulation (microbatch
+    reshape + pinned shardings) x 2-D data x spatial mesh x multi-host.
+    The round-3 grad-accum/2-D-mesh miscompile fix must hold when the
+    mesh spans processes: cluster == single-process, same mesh."""
+    train, val, _ = data
+    ref = worker.train_once(train, val, str(tmp_path / "ref_logs"),
+                            spatial=2, grad_accum=2)
+    got = _run_cluster(data, tmp_path, spatial=2,
+                       extra_args={0: ["--grad_accum", "2"],
+                                   1: ["--grad_accum", "2"]})
+    _assert_matches(got, ref)
+
+
+@pytest.mark.slow
 def test_two_process_cluster_inference(data, tmp_path):
     """Pod serving: `inference.py --multihost` shards the file list across
     processes (each serving on its own local devices), writes artifacts to

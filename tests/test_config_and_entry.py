@@ -60,3 +60,14 @@ def test_graft_entry_compiles():
     fn, (variables, x) = g.entry()
     lowered = jax.jit(fn).lower(variables, x)
     assert lowered is not None  # traces + lowers without error
+
+
+@pytest.mark.slow
+def test_graft_dryrun_multichip_runs():
+    """The driver-visible multichip contract: dryrun_multichip(8) must
+    train+eval+spmd+serve (+2-D spatial) on the virtual 8-device mesh.
+    The driver runs this standalone each round; guard it in the suite so
+    a refactor can't break it between rounds."""
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)  # asserts internally; raises on any regression

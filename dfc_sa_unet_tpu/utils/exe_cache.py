@@ -47,18 +47,24 @@ import jax.numpy as jnp
 _SOURCE_FP_CACHE: dict = {}
 
 
-def source_fingerprint() -> str:
+def source_fingerprint(pkg_root: str | None = None) -> str:
     """sha1 over the package's .py sources + jax/jaxlib versions.
 
     Any edit to the framework's Python (and hence, conservatively, to any
     math that could be baked into a compiled executable) produces a new
-    fingerprint and so a cache miss.  Computed once per process.
+    fingerprint and so a cache miss.  Computed once per process for the
+    default root; an explicit ``pkg_root`` bypasses the memo (used by the
+    invalidation test to hash a modified copy of the tree).
     """
-    if "fp" in _SOURCE_FP_CACHE:
-        return _SOURCE_FP_CACHE["fp"]
+    if pkg_root is None:
+        if "fp" in _SOURCE_FP_CACHE:
+            return _SOURCE_FP_CACHE["fp"]
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        memoize = True
+    else:
+        memoize = False
     import jaxlib
 
-    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     h = hashlib.sha1()
     h.update(f"jax={jax.__version__};jaxlib={jaxlib.__version__};".encode())
     for dirpath, dirnames, filenames in sorted(os.walk(pkg_root)):
@@ -72,8 +78,10 @@ def source_fingerprint() -> str:
             h.update(os.path.relpath(path, pkg_root).encode())
             with open(path, "rb") as f:
                 h.update(f.read())
-    _SOURCE_FP_CACHE["fp"] = h.hexdigest()[:16]
-    return _SOURCE_FP_CACHE["fp"]
+    fp = h.hexdigest()[:16]
+    if memoize:
+        _SOURCE_FP_CACHE["fp"] = fp
+    return fp
 
 
 def tree_fingerprint(tree) -> str:

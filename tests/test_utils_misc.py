@@ -109,3 +109,28 @@ def test_checkpoint_empty_template_leaf_restores_saved_history(tmp_path):
     restored = restore_pytree(path, template=template)
     np.testing.assert_array_equal(restored["history"]["train_losses"], [0.5, 0.4])
     np.testing.assert_array_equal(restored["params"]["w"], saved["params"]["w"])
+
+
+def test_source_edit_invalidates_exe_cache_key(tmp_path):
+    """VERDICT r2 item 4: editing framework source must invalidate every
+    exe-cache entry.  Hash a pristine copy of the package tree, then the
+    same copy with one trailing comment byte appended to blocks.py — the
+    source fingerprint (and hence every cache key built from it) changes;
+    an unmodified copy reproduces the live tree's fingerprint exactly
+    (relpath-keyed walk, so location does not matter)."""
+    import shutil
+
+    import dfc_sa_unet_tpu
+    from dfc_sa_unet_tpu.utils import exe_cache
+
+    src = dfc_sa_unet_tpu.__path__[0]
+    copy = tmp_path / "pkg"
+    shutil.copytree(src, copy, ignore=shutil.ignore_patterns("__pycache__"))
+
+    pristine = exe_cache.source_fingerprint(str(copy))
+    assert pristine == exe_cache.source_fingerprint()  # == the live tree
+
+    target = copy / "models" / "blocks.py"
+    with open(target, "a") as f:
+        f.write("\n# edited\n")
+    assert exe_cache.source_fingerprint(str(copy)) != pristine

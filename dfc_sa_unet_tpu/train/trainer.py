@@ -165,6 +165,7 @@ class Trainer:
         self._is_primary = jax.process_index() == 0
         self._warned_replicated = False
         self._warned_spatial = False
+        self._warned_accum_replicated = False
 
     def _replicate_state(self, state):
         """Place a host-local state pytree replicated on the mesh.
@@ -328,11 +329,52 @@ class Trainer:
                            and (bsz // accum) % self._n_data == 0 else None)
                 sp_ax = ("spatial" if self._n_spatial > 1
                          and x.shape[1] % self._n_spatial == 0 else None)
-                micro_sh = jax.sharding.NamedSharding(
-                    self.mesh, jax.sharding.PartitionSpec(None, data_ax, sp_ax)
-                )
-                xm = jax.lax.with_sharding_constraint(xm, micro_sh)
-                tm = jax.lax.with_sharding_constraint(tm, micro_sh)
+                two_d = self._n_data > 1 and self._n_spatial > 1
+                if two_d and data_ax is None:
+                    # Microbatch does not divide the data axis.  KEEPING the
+                    # row sharding is not an option: a conv weight gradient
+                    # whose input is 'spatial'-sharded while a >1 'data'
+                    # axis sits idle (batch dim replicated) is double-
+                    # counted — exactly min(accum, data)x — in EVERY
+                    # formulation measured (micro pin P(None, None,
+                    # 'spatial'), batch replicated outside jit, dynamic-
+                    # slice instead of reshape, pins on xi/gi/gsum inside
+                    # the scan body; see scripts/repro_scan_halo_grad.py's
+                    # idle-axis rows).  Plain grads show the same 2x with
+                    # in=P(None, 'spatial') on a (2, 4) mesh, so this is an
+                    # XLA partitioner bug, not a reshape artifact.  The only
+                    # exact fallback is FULL microbatch replication — and
+                    # the full-batch mask t must be pinned replicated TOO:
+                    # the post-scan metrics consume t with its original
+                    # ('data', 'spatial') sharding, and that single
+                    # conflicting use is enough to push the resharding
+                    # back inside the scan and re-trigger the exact same
+                    # 2x (measured; idle-axis rows in the repro script).
+                    sp_ax = None
+                    rep = jax.sharding.NamedSharding(
+                        self.mesh, jax.sharding.PartitionSpec()
+                    )
+                    t = jax.lax.with_sharding_constraint(t, rep)
+                    tm = t.reshape(accum, bsz // accum, *t.shape[1:])
+                    if not self._warned_accum_replicated:
+                        self._warned_accum_replicated = True
+                        print(f"Warning: microbatch {bsz}//{accum} does not "
+                              f"divide the data axis ({self._n_data}); "
+                              f"running the grad-accum loop fully "
+                              f"replicated for exactness (all parallel "
+                              f"speedup lost) — pick grad_accum/batch so "
+                              f"(B/accum) % data == 0")
+                if data_ax is not None or sp_ax is not None or two_d:
+                    micro_sh = jax.sharding.NamedSharding(
+                        self.mesh, jax.sharding.PartitionSpec(None, data_ax, sp_ax)
+                    )
+                    xm = jax.lax.with_sharding_constraint(xm, micro_sh)
+                    tm = jax.lax.with_sharding_constraint(tm, micro_sh)
+                # else: 1-D mesh whose axis does not divide the microbatch —
+                # leave GSPMD propagation alone (exact on 1-D meshes, see the
+                # repro's PINNED/1-D rows; forcing PartitionSpec(None, None,
+                # None) here would silently all-gather the batch and run
+                # every device replicated)
 
             def micro(carry, inp):
                 stats, gacc = carry

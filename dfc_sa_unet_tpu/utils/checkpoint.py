@@ -64,8 +64,6 @@ def _local_checkpointer():
 
 def save_pytree(path: str, tree: Mapping[str, Any]):
     path = _abspath(path)
-    if os.path.exists(path):
-        shutil.rmtree(path)
     tree = jax.tree.map(np.asarray, tree)
     zero_leaves = {}
 
@@ -76,11 +74,29 @@ def save_pytree(path: str, tree: Mapping[str, Any]):
         return a
 
     tree = jax.tree_util.tree_map_with_path(_placeholder, tree)
-    with _local_checkpointer() as ckptr:
-        ckptr.save(path, tree)
-    if zero_leaves:
-        with open(os.path.join(path, _ZERO_MANIFEST), "w") as f:
-            json.dump(zero_leaves, f)
+    # Stage the Orbax save AND the manifest in a hidden temp dir, then
+    # rename into place: writing the manifest after ckptr.save() finalizes
+    # would leave a one-line preemption window in which a complete-looking
+    # checkpoint restores its zero-size leaves as shape-(1,) placeholders.
+    # The leading dot keeps crashed leftovers out of
+    # latest_epoch_checkpoint's scan; rename within one parent dir is
+    # atomic on POSIX.
+    parent, base = os.path.split(path)
+    tmp = os.path.join(parent or ".", f".tmp.{base}.{os.getpid()}")
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    try:
+        with _local_checkpointer() as ckptr:
+            ckptr.save(tmp, tree)
+        if zero_leaves:
+            with open(os.path.join(tmp, _ZERO_MANIFEST), "w") as f:
+                json.dump(zero_leaves, f)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
 
 
 def restore_pytree(path: str, template: Optional[Mapping[str, Any]] = None):

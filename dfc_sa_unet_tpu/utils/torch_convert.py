@@ -228,9 +228,14 @@ def variables_to_torch_state_dict(variables: Mapping[str, Any]) -> "OrderedDict[
                 out[f"{key_prefix}.bias"] = a
             else:
                 # gamma, res_scale, pos_embed, in_proj_weight, ... — the
-                # forward converter transposes 2D values to match flax
-                # [in,out]; invert that here.
-                if a.ndim == 2:
+                # forward converter transposes a 2-D value ONLY when the
+                # shapes demand it (val.shape != target.shape).  A square
+                # matrix can never trip that test, so the forward stores
+                # it in torch orientation — transposing it here would
+                # silently corrupt the export (shapes still match, strict
+                # load succeeds, torch computes with W.T).  Invert exactly
+                # the forward's rule: transpose non-square 2-D only.
+                if a.ndim == 2 and a.shape[0] != a.shape[1]:
                     a = a.T
                 out[f"{key_prefix}.{name}" if key_prefix else name] = a
 

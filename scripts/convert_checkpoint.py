@@ -23,13 +23,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-import jax.numpy as jnp
-
 from dfc_sa_unet_tpu.config import load_config
 from dfc_sa_unet_tpu.models.factory import ModelFactory
 from dfc_sa_unet_tpu.utils import checkpoint as ckpt_util
-from dfc_sa_unet_tpu.utils.torch_convert import load_torch_checkpoint, save_torch_checkpoint
+from dfc_sa_unet_tpu.utils.torch_convert import save_torch_checkpoint
 
 
 def main():
@@ -47,23 +44,24 @@ def main():
     if isinstance(img_size, int):
         img_size = [img_size, img_size]
     model = ModelFactory.get_model(config)
-    if args.to_torch:
-        from dfc_sa_unet_tpu.models.factory import load_variables
+    in_channels = config["model"].get("in_channels", 3)
+    # Both directions share factory.load_variables: it templates the model
+    # and dispatches on the source format (.pth via load_torch_checkpoint,
+    # directories via restore_pytree) — the same path train.py's
+    # pretrained_path warm start uses.
+    src = args.ckpt if args.to_torch else args.pth
+    if not src:
+        p.error("--to_torch requires --ckpt (an Orbax checkpoint directory)"
+                if args.to_torch else "the torch -> Orbax direction requires --pth")
+    from dfc_sa_unet_tpu.models.factory import load_variables
 
-        if not args.ckpt:
-            p.error("--to_torch requires --ckpt (an Orbax checkpoint directory)")
-        variables = load_variables(
-            model, args.ckpt, img_size=tuple(img_size),
-            in_channels=config["model"].get("in_channels", 3),
-        )
+    variables = load_variables(
+        model, src, img_size=tuple(img_size), in_channels=in_channels,
+    )
+    if args.to_torch:
         save_torch_checkpoint(args.out, variables)
         print(f"Exported {args.ckpt} -> {args.out} (raw torch state_dict)")
     else:
-        if not args.pth:
-            p.error("the torch -> Orbax direction requires --pth")
-        x = jnp.zeros((1, img_size[0], img_size[1], config["model"].get("in_channels", 3)))
-        template = model.init(jax.random.key(0), x, train=False)
-        variables = load_torch_checkpoint(args.pth, template)
         ckpt_util.save_pytree(args.out, variables)
         print(f"Converted {args.pth} -> {args.out}")
 

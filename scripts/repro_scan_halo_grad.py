@@ -114,6 +114,31 @@ def main():
         print(f"{name}:  max|g - truth| = {np.abs(g - truth).max():.3e}   "
               f"g/truth = {ratio.min():.6f}..{ratio.max():.6f}")
 
+    # ---- idle-axis rows: the bug is NOT scan/reshape-specific.  A PLAIN
+    # conv weight gradient whose input is 'spatial'-sharded while a >1
+    # 'data' axis sits idle (batch dim replicated) is double-counted —
+    # exactly the idle axis size.  The idle-SPATIAL dual (batch sharded,
+    # rows replicated) is exact, as are full replication and full 2-D
+    # sharding.  This is why the trainer's grad-accum fallback for a
+    # microbatch that does not divide the data axis must pin the
+    # microbatch FULLY replicated: every formulation that keeps the rows
+    # sharded (micro pin P(None, None, 'spatial'), batch replicated
+    # outside jit, dynamic_slice instead of reshape, pins on xi/gi/g
+    # inside the scan body) measures the same 2x.
+    print()
+    plain = jax.grad(lambda w_, x_: conv(x_, w_).sum())
+    truth_p = np.asarray(jax.jit(plain)(w, x))
+    for name, spec in [
+        ("PLAIN grad, idle data (rows sharded)   ", P(None, "spatial")),
+        ("PLAIN grad, idle spatial (batch sharded)", P("data", None)),
+        ("PLAIN grad, fully replicated            ", P(None, None)),
+        ("PLAIN grad, fully 2-D sharded           ", P("data", "spatial")),
+    ]:
+        xs = jax.device_put(x, NamedSharding(mesh2d, spec))
+        g = np.asarray(jax.jit(plain)(w, xs))
+        ratio = g[np.abs(truth_p) > 1e-3] / truth_p[np.abs(truth_p) > 1e-3]
+        print(f"{name}:  g/truth = {ratio.min():.6f}..{ratio.max():.6f}")
+
 
 if __name__ == "__main__":
     main()

@@ -434,6 +434,117 @@ def test_grad_accum_under_spatial_mesh_exact(setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
 
 
+def test_partial_train_batch_replicated_fallback_exact_params(setup):
+    """A train batch of 6 on a 2x4 ('data','spatial') mesh (6 % 2 == 0
+    would shard, so use 5): _put_batch warns and runs it replicated.
+    The idle-axis miscompile (PERF.md: a 'spatial'-sharded conv-grad
+    input with a >1 idle 'data' axis doubles weight grads) makes
+    'replicated' a load-bearing word — GSPMD must not re-shard rows
+    mid-graph.  Assert PARAMS, not just loss: the loss (forward) is
+    exact even when weight grads are doubled."""
+    from dfc_sa_unet_tpu.parallel import serving_mesh
+
+    cfg, loader, batch, _ = setup
+    model = _MiniNet()
+    small = {"image": np.asarray(batch["image"])[:5],
+             "mask": np.asarray(batch["mask"])[:5]}
+
+    t1 = Trainer(model, loader, loader, cfg, mesh=None, seed=0)
+    s1 = t1.init_state(small)
+    s1n, m1 = t1._train_step(s1, jnp.asarray(small["image"]), jnp.asarray(small["mask"]))
+
+    t2d = Trainer(model, loader, loader, cfg, mesh=serving_mesh(spatial=4), seed=0)
+    s2 = t2d.init_state(small)
+    imgs, masks, valid = t2d._put_batch(small)
+    assert valid is None
+    assert t2d._warned_replicated
+    s2n, m2 = t2d._train_step(s2, imgs, masks)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), atol=1e-5, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1n.params), jax.tree.leaves(s2n.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(s1n.batch_stats), jax.tree.leaves(s2n.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
+
+
+def test_grad_accum_undivisible_microbatch_paths(setup, capsys):
+    """The two fallback paths of the grad-accum sharding pin:
+
+    (a) 1-D data mesh whose axis does NOT divide the microbatch
+        (8 devices, B=8, accum=2 -> micro 4): the pin must NOT fire —
+        1-D propagation is exact unpinned (repro's 1-D rows) and forcing
+        P(None, None, None) would silently all-gather the batch and run
+        every device replicated.  Exactness vs single device is the pin.
+    (b) 2-D mesh where the data axis does not divide (data=2, spatial=4,
+        B=6, accum=2 -> micro 3): the microbatch must be pinned FULLY
+        replicated, with a one-time warning.  Keeping the rows sharded is
+        wrong in every formulation — a conv weight grad whose input is
+        'spatial'-sharded while a >1 'data' axis sits idle is exactly
+        min(accum, data)x (XLA partitioner bug; idle-axis rows in
+        scripts/repro_scan_halo_grad.py).
+
+    (c) 2-D mesh where only the spatial axis does not divide (H=14 % 4,
+        micro 4 % data 2 == 0): batch stays 'data'-sharded (idle spatial
+        with a sharded batch is exact in the plain-grad matrix) and the
+        step stays exact."""
+    import copy
+
+    from dfc_sa_unet_tpu.parallel import serving_mesh
+
+    cfg, loader, batch, _ = setup
+    cfg = copy.deepcopy(cfg)
+    cfg["training"]["grad_accum"] = 2
+    model = _MiniNet()
+
+    # --- (a) 1-D mesh, micro 4 % 8 != 0: unpinned, still exact
+    t1 = Trainer(model, loader, loader, cfg, mesh=None, seed=0)
+    s1 = t1.init_state(batch)
+    s1n, m1 = t1._train_step(s1, jnp.asarray(batch["image"]), jnp.asarray(batch["mask"]))
+
+    t8 = Trainer(model, loader, loader, cfg, mesh=data_parallel_mesh(), seed=0)
+    s8 = t8.init_state(batch)
+    imgs, masks, valid = t8._put_batch(batch)
+    assert valid is None
+    s8n, m8 = t8._train_step(s8, imgs, masks)
+    capsys.readouterr()
+    assert not t8._warned_accum_replicated
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), atol=1e-5, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1n.params), jax.tree.leaves(s8n.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
+
+    # --- (b) 2-D mesh, micro 3 % data(2) != 0 but H 16 % spatial(4) == 0
+    small = {"image": np.asarray(batch["image"])[:6],
+             "mask": np.asarray(batch["mask"])[:6]}
+    sm1 = t1.init_state(small)
+    sm1n, mm1 = t1._train_step(sm1, jnp.asarray(small["image"]), jnp.asarray(small["mask"]))
+
+    t2d = Trainer(model, loader, loader, cfg, mesh=serving_mesh(spatial=4), seed=0)
+    sm2 = t2d.init_state(small)
+    imgs, masks, valid = t2d._put_batch(small)
+    assert valid is None
+    sm2n, mm2 = t2d._train_step(sm2, imgs, masks)
+    assert t2d._warned_accum_replicated
+    assert "does not divide the data axis" in capsys.readouterr().out
+    np.testing.assert_allclose(float(mm1["loss"]), float(mm2["loss"]), atol=1e-5, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(sm1n.params), jax.tree.leaves(sm2n.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
+
+    # --- (c) 2-D mesh, H 14 % spatial(4) != 0 but micro 4 % data(2) == 0
+    hcut = {"image": np.asarray(batch["image"])[:, :14],
+            "mask": np.asarray(batch["mask"])[:, :14]}
+    sh1 = t1.init_state(hcut)
+    sh1n, mh1 = t1._train_step(sh1, jnp.asarray(hcut["image"]), jnp.asarray(hcut["mask"]))
+
+    th = Trainer(model, loader, loader, cfg, mesh=serving_mesh(spatial=4), seed=0)
+    sh2 = th.init_state(hcut)
+    imgs, masks, valid = th._put_batch(hcut)
+    assert valid is None
+    sh2n, mh2 = th._train_step(sh2, imgs, masks)
+    assert not th._warned_accum_replicated
+    np.testing.assert_allclose(float(mh1["loss"]), float(mh2["loss"]), atol=1e-5, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(sh1n.params), jax.tree.leaves(sh2n.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
+
+
 def test_vit_seg_fused_under_spatial_mesh_exact():
     """--spatial_parallel with a transformer family: the patch conv's rows
     shard (halo exchange); the token-dim operations and the fused Pallas

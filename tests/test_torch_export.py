@@ -52,6 +52,28 @@ def _round_trip_check(ref_model, mdl, x_nchw):
     assert not missing and not unexpected
 
 
+def test_square_2d_custom_param_round_trips_untransposed():
+    """The forward converter transposes a 2-D custom (non-kernel) leaf
+    ONLY when the template shape demands it — a square matrix never
+    trips that test and is stored in torch orientation.  The reverse
+    must apply exactly the inverse rule (transpose non-square only): an
+    unconditional a.T would silently export a square table transposed
+    (shapes still match, strict load succeeds, values wrong)."""
+    rng = np.random.default_rng(3)
+    square = rng.standard_normal((4, 4)).astype(np.float32)   # e.g. a rel-pos table
+    nonsq = rng.standard_normal((12, 4)).astype(np.float32)   # e.g. in_proj_weight
+    sd = {"blk.table": torch.from_numpy(square),
+          "blk.in_proj_weight": torch.from_numpy(nonsq)}
+    template = {"params": {"blk": {"table": np.zeros((4, 4), np.float32),
+                                   "in_proj_weight": np.zeros((4, 12), np.float32)}}}
+    variables = torch_state_dict_to_variables(sd, template)
+    np.testing.assert_array_equal(variables["params"]["blk"]["table"], square)
+    np.testing.assert_array_equal(variables["params"]["blk"]["in_proj_weight"], nonsq.T)
+    back = variables_to_torch_state_dict(variables)
+    np.testing.assert_array_equal(back["blk.table"], square)
+    np.testing.assert_array_equal(back["blk.in_proj_weight"], nonsq)
+
+
 def test_round_trip_dfc_flagship_small():
     require_reference()
     ref = load_ref_module("unet_dfc_sa_res")

@@ -1,9 +1,11 @@
 """Small-utility tests: StepTimer, metrics_from_counts edge cases,
 visualization artifact shapes."""
 
+import os
 import time
 
 import numpy as np
+import pytest
 
 from dfc_sa_unet_tpu.metrics import metrics_from_counts
 from dfc_sa_unet_tpu.utils.profiling import StepTimer
@@ -90,6 +92,44 @@ def test_checkpoint_roundtrips_zero_size_leaves(tmp_path):
         np.testing.assert_array_equal(restored["params"]["k"], tree["params"]["k"])
         np.testing.assert_array_equal(restored["opt_leaves"][1], tree["opt_leaves"][1])
         assert int(restored["epoch"]) == 7
+
+
+def test_checkpoint_save_is_atomic_with_manifest(tmp_path):
+    """The zero-size manifest must land in the SAME atomic rename as the
+    Orbax data: a preemption between ckptr.save() finalizing and the
+    manifest write would otherwise leave a complete-looking checkpoint
+    whose zero-size leaves restore as shape-(1,) placeholders.  Simulate
+    the crash by making the manifest dump raise — no finalized checkpoint
+    may exist afterwards, and no temp litter that latest_epoch_checkpoint
+    could pick up."""
+    import json as json_mod
+
+    from dfc_sa_unet_tpu.utils import checkpoint as ckpt_mod
+
+    tree = {"q": np.zeros((1, 1, 4, 0), np.float32),
+            "k": np.ones((2, 2), np.float32)}
+    path = str(tmp_path / "checkpoint_epoch_3")
+
+    real_dump = json_mod.dump
+    try:
+        def boom(*a, **kw):
+            raise RuntimeError("simulated preemption")
+        ckpt_mod.json.dump = boom
+        with pytest.raises(RuntimeError, match="simulated preemption"):
+            ckpt_mod.save_pytree(path, tree)
+    finally:
+        ckpt_mod.json.dump = real_dump
+
+    assert not os.path.exists(path)  # nothing finalized without a manifest
+    from dfc_sa_unet_tpu.utils.checkpoint import latest_epoch_checkpoint
+    assert latest_epoch_checkpoint(str(tmp_path)) is None
+
+    # and a successful save has the manifest inside the finalized dir
+    ckpt_mod.save_pytree(path, tree)
+    assert os.path.exists(os.path.join(path, "zero_size_leaves.json"))
+    assert latest_epoch_checkpoint(str(tmp_path)) == os.path.abspath(path)
+    restored = ckpt_mod.restore_pytree(path)
+    assert restored["q"].shape == (1, 1, 4, 0)
 
 
 def test_checkpoint_empty_template_leaf_restores_saved_history(tmp_path):

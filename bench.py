@@ -47,13 +47,22 @@ def build_chained(
     )
 
     if int8:
-        from dfc_sa_unet_tpu.infer.quant import Int8DFCEngine
-
         # act_scales="timing" keeps the exact serving graph (scales are
         # same-shape baked constants) without the calibration forward's
-        # extra tunnel compile; the accuracy gate is pinned separately in
-        # tests/test_quant.py::test_int8_dice_delta_gate_end_to_end.
-        eng = Int8DFCEngine(cfg, variables, dtype=cdtype, act_scales="timing")
+        # extra tunnel compile; the accuracy gates are pinned separately
+        # in tests/test_quant.py and tests/test_quant_vit.py.
+        if model_name == "VisionTransformerSegmentation":
+            from dfc_sa_unet_tpu.infer.quant_vit import Int8ViTEngine
+
+            # fused Pallas MHA inside the int8 engine mirrors the bf16
+            # serving default for the transformer families
+            eng = Int8ViTEngine(cfg, variables, dtype=cdtype,
+                                act_scales="timing",
+                                use_pallas=cdtype == jnp.bfloat16)
+        else:
+            from dfc_sa_unet_tpu.infer.quant import Int8DFCEngine
+
+            eng = Int8DFCEngine(cfg, variables, dtype=cdtype, act_scales="timing")
 
         def apply_fn(_, x):
             return eng._forward(x)

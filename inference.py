@@ -152,19 +152,24 @@ def main(args):
     # fused/lax executables apart when runs share an --exe_cache dir.
     cache_salt = "pallas:" if use_pallas else ""
     is_dfc = config["model"]["name"] == "DFC-SA-Res-Block"
-    if args.int8 and not is_dfc:
-        print("(--int8 only supports DFC-SA-Res-Block; using standard path)")
+    is_vit = config["model"]["name"] == "VisionTransformerSegmentation"
+    if args.int8 and not (is_dfc or is_vit):
+        print("(--int8 supports DFC-SA-Res-Block and "
+              "VisionTransformerSegmentation; using standard path)")
     if args.engine and not args.int8 and not is_dfc:
         print("(--engine only supports DFC-SA-Res-Block; using standard path)")
-    if (args.int8 or args.engine) and is_dfc:
+    if (args.int8 and (is_dfc or is_vit)) or (args.engine and is_dfc):
         if args.int8:
             from dfc_sa_unet_tpu.data.loader import normalize_on_device
-            from dfc_sa_unet_tpu.infer.quant import Int8DFCEngine
 
             # calibrate activation scales on the first input images at the
             # model's working resolution (scales are per-tensor scalars, so
-            # any spatial size works; tiles and full frames share them)
+            # any spatial size works; tiles and full frames share them).
+            # ViT models only accept img_dim inputs (the module asserts),
+            # so their calibration side is pinned there.
             side = args.tile_size if not args.no_slide_window else img_size[0]
+            if is_vit:
+                side = config["model"].get("img_dim", 224)
             calib = []
             for path in image_files[:8]:
                 im, _ = load_image(path, target_size=(side, side))
@@ -175,11 +180,25 @@ def main(args):
             xs = normalize_on_device(
                 jnp.asarray(np.stack(calib)), dtype or jnp.float32
             )
-            engine = Int8DFCEngine(config, variables, dtype=dtype or jnp.float32,
-                                   calib_batches=[xs])
-            print(f"Using the int8 quantized serving engine "
-                  f"(levels: {sorted(engine.int8_levels)}; "
-                  f"calibrated on {len(calib)} images).")
+            if is_vit:
+                from dfc_sa_unet_tpu.infer.quant_vit import Int8ViTEngine
+
+                engine = Int8ViTEngine(config, variables,
+                                       dtype=dtype or jnp.float32,
+                                       calib_batches=[xs],
+                                       use_pallas=use_pallas)
+                print(f"Using the int8 transformer serving engine "
+                      f"(all four linears x {engine.num_layers} blocks; "
+                      f"calibrated on {len(calib)} images).")
+            else:
+                from dfc_sa_unet_tpu.infer.quant import Int8DFCEngine
+
+                engine = Int8DFCEngine(config, variables,
+                                       dtype=dtype or jnp.float32,
+                                       calib_batches=[xs])
+                print(f"Using the int8 quantized serving engine "
+                      f"(levels: {sorted(engine.int8_levels)}; "
+                      f"calibrated on {len(calib)} images).")
         else:
             from dfc_sa_unet_tpu.infer.engine import DFCEngine
 
@@ -192,8 +211,16 @@ def main(args):
             # their values so a different checkpoint never reuses them
             from dfc_sa_unet_tpu.utils.exe_cache import tree_fingerprint
 
-            salt_tree = {"blocks": engine.blocks, "ups": engine.ups,
-                         "final": engine.final}
+            if is_vit and args.int8:
+                # use_pallas switches the engine's attention between the
+                # fused kernel and lax at identical shapes — salt it too
+                salt_tree = {"layers": engine.layers, "head": engine.head,
+                             "final": (engine.final_k, engine.final_b),
+                             "patch": (engine.patch_k, engine.patch_b),
+                             "pallas": int(engine.use_pallas)}
+            else:
+                salt_tree = {"blocks": engine.blocks, "ups": engine.ups,
+                             "final": engine.final}
             if args.int8:
                 salt_tree["scales"] = dict(engine.act_scales)
             cache_salt = ("int8:" if args.int8 else "engine:") + tree_fingerprint(salt_tree)

@@ -59,6 +59,12 @@ def build_chained(
             eng = Int8ViTEngine(cfg, variables, dtype=cdtype,
                                 act_scales="timing",
                                 use_pallas=cdtype == jnp.bfloat16)
+        elif model_name in ("TransformerUNet", "TransUNet"):
+            from dfc_sa_unet_tpu.infer.quant_transunet import Int8TransUNetEngine
+
+            eng = Int8TransUNetEngine(cfg, variables, dtype=cdtype,
+                                      act_scales="timing",
+                                      use_pallas=cdtype == jnp.bfloat16)
         else:
             from dfc_sa_unet_tpu.infer.quant import Int8DFCEngine
 
@@ -103,7 +109,8 @@ def main():
     p.add_argument("--engine", action="store_true",
                    help="use the folded+fused inference engine (DFC-SA only)")
     p.add_argument("--int8", action="store_true",
-                   help="use the int8 quantized serving engine (DFC-SA only)")
+                   help="use the int8 quantized serving engine "
+                        "(DFC-SA / ViT-seg / TransUNet)")
     p.add_argument("--module", action="store_true",
                    help="force the plain module path (no serving engine)")
     p.add_argument("--k", type=int, default=8, help="chained steps per timing call")

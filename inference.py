@@ -153,12 +153,14 @@ def main(args):
     cache_salt = "pallas:" if use_pallas else ""
     is_dfc = config["model"]["name"] == "DFC-SA-Res-Block"
     is_vit = config["model"]["name"] == "VisionTransformerSegmentation"
-    if args.int8 and not (is_dfc or is_vit):
-        print("(--int8 supports DFC-SA-Res-Block and "
-              "VisionTransformerSegmentation; using standard path)")
+    is_tu = config["model"]["name"] in ("TransformerUNet", "TransUNet")
+    if args.int8 and not (is_dfc or is_vit or is_tu):
+        print("(--int8 supports DFC-SA-Res-Block, "
+              "VisionTransformerSegmentation, and TransformerUNet; "
+              "using standard path)")
     if args.engine and not args.int8 and not is_dfc:
         print("(--engine only supports DFC-SA-Res-Block; using standard path)")
-    if (args.int8 and (is_dfc or is_vit)) or (args.engine and is_dfc):
+    if (args.int8 and (is_dfc or is_vit or is_tu)) or (args.engine and is_dfc):
         if args.int8:
             from dfc_sa_unet_tpu.data.loader import normalize_on_device
 
@@ -190,6 +192,16 @@ def main(args):
                 print(f"Using the int8 transformer serving engine "
                       f"(all four linears x {engine.num_layers} blocks; "
                       f"calibrated on {len(calib)} images).")
+            elif is_tu:
+                from dfc_sa_unet_tpu.infer.quant_transunet import Int8TransUNetEngine
+
+                engine = Int8TransUNetEngine(config, variables,
+                                             dtype=dtype or jnp.float32,
+                                             calib_batches=[xs],
+                                             use_pallas=use_pallas)
+                print(f"Using the int8 TransUNet serving engine "
+                      f"(all four encoder linears x {engine.num_layers} "
+                      f"blocks; calibrated on {len(calib)} images).")
             else:
                 from dfc_sa_unet_tpu.infer.quant import Int8DFCEngine
 
@@ -217,6 +229,13 @@ def main(args):
                 salt_tree = {"layers": engine.layers, "head": engine.head,
                              "final": (engine.final_k, engine.final_b),
                              "patch": (engine.patch_k, engine.patch_b),
+                             "pallas": int(engine.use_pallas)}
+            elif is_tu and args.int8:
+                salt_tree = {"layers": engine.layers,
+                             "enc_norm": (engine.enc_ns, engine.enc_nb),
+                             "embed": engine._embed_vars,
+                             "decoder": engine._decoder_vars,
+                             "head": engine._head_vars,
                              "pallas": int(engine.use_pallas)}
             else:
                 salt_tree = {"blocks": engine.blocks, "ups": engine.ups,
@@ -450,9 +469,11 @@ if __name__ == "__main__":
     parser.add_argument("--engine", action="store_true",
                         help="folded+fused inference engine (DFC-SA-Res-Block)")
     parser.add_argument("--int8", action="store_true",
-                        help="int8 quantized serving engine (DFC-SA-Res-Block): "
-                             "1.1-1.4x on the large conv levels on v5e, end-metric "
-                             "|Dice delta| <= 1e-3 (calibrates on the first input images)")
+                        help="int8 quantized serving engine (DFC-SA-Res-Block, "
+                             "VisionTransformerSegmentation, TransformerUNet): "
+                             "s8 MXU matmuls/convs where measured faster on v5e, "
+                             "end-metric |Dice delta| <= 1e-3 (calibrates on the "
+                             "first input images)")
     parser.add_argument("--batch_size", type=int, default=128,
                         help="tile batch; 128/256 are ~2x faster than 32-96 on TPU (XLA conv-layout cliff, PERF.md)")
     parser.add_argument("--serial", action="store_true",

@@ -1,9 +1,29 @@
 #!/usr/bin/env python
 """Throughput benchmark: DFC-SA-Res inference at 224x224 on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is value / 2000 (the BASELINE.json north-star of >=2,000
-224x224 images/sec/chip on TPU v5e; the reference publishes no numbers).
+Driver contract: the driver runs `python bench.py` under a hard
+wall-clock timeout and parses the LAST complete JSON line of stdout
+({"metric", "value", "unit", "vs_baseline"}; vs_baseline = value / 2000,
+the BASELINE.json north-star — the reference publishes no numbers).
+A valid line must ALWAYS land within budget (round 3 shipped an
+int8-first default that compiled for the whole budget and printed
+nothing, rc=124), so the default run is staged:
+
+  phase 1  plain bf16 module path at batch 128 — the configuration that
+           passed rounds 1-2 — warm-started from the repo-local
+           `.exe_cache/` when an entry exists (0.3 s deserialize vs the
+           tunnel's 380-930 s first compile, utils/exe_cache.py).  Its
+           JSON line prints and FLUSHES immediately after measurement.
+  phase 2  the int8-composed engine (fastest gate-passing config:
+           +2.3% over bf16, PERF.md round 3; accuracy gates pinned in
+           tests/test_quant.py, test_quant_vit.py and
+           test_quant_transunet.py) is attempted only while the budget
+           comfortably allows, in a timeout-bounded SUBPROCESS so a
+           slow tunnel compile can never hang the parent past its
+           budget.  Its line prints only if it beats phase 1.
+
+Budget: BENCH_BUDGET_S env or --budget (default 1200 s — conservative
+vs the driver's observed timeout: rounds 1-2 passed at ~1000 s total).
 
 Timing method: K forward passes are chained inside a single jit via
 lax.scan with a data dependency between iterations, and the wall clock
@@ -11,11 +31,15 @@ includes a scalar device->host fetch.  This is robust to async-dispatch
 runtimes where block_until_ready returns before device completion
 (observed on tunneled backends).
 
-Flags: --batch N (sweep default), --fp32, --pallas, --k N, --model NAME
+Flags: --batch N, --fp32, --pallas, --k N, --model NAME, --int8,
+--engine, --module, --zoo (per-family JSON lines + BENCH_ZOO.json),
+--exe_cache DIR / --no_exe_cache, --budget S.
 """
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -25,6 +49,8 @@ import jax
 import jax.numpy as jnp
 
 BASELINE_IMG_PER_SEC = 2000.0
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+DEFAULT_EXE_CACHE = os.path.join(REPO_ROOT, ".exe_cache")
 
 
 def build_chained(
@@ -50,7 +76,8 @@ def build_chained(
         # act_scales="timing" keeps the exact serving graph (scales are
         # same-shape baked constants) without the calibration forward's
         # extra tunnel compile; the accuracy gates are pinned separately
-        # in tests/test_quant.py and tests/test_quant_vit.py.
+        # in tests/test_quant.py, tests/test_quant_vit.py and
+        # tests/test_quant_transunet.py.
         if model_name == "VisionTransformerSegmentation":
             from dfc_sa_unet_tpu.infer.quant_vit import Int8ViTEngine
 
@@ -101,9 +128,141 @@ def build_chained(
     return chained, variables, x_u8
 
 
+def _metric_name(model, dtype, pallas=False, engine=False, int8=False):
+    return (f"{model} 224x224 inference images/sec/chip"
+            + (" (bf16)" if dtype is not None else " (f32)")
+            + (" (pallas)" if pallas else "")
+            + (" (engine)" if engine else "")
+            + (" (int8-composed engine)" if int8 else ""))
+
+
+def _record(name, ips, batch):
+    return {
+        "metric": name,
+        # sub-1 img/s happens on CPU dry-runs — keep the value nonzero
+        "value": round(ips, 1) if ips >= 1 else round(ips, 4),
+        "unit": "images/sec",
+        "vs_baseline": round(ips / BASELINE_IMG_PER_SEC, 4),
+        "batch": batch,
+        "device": str(jax.devices()[0]),
+    }
+
+
+def measure(model, dtype, use_pallas, batch, k, repeats,
+            engine=False, int8=False, exe_cache=None):
+    """Build + (cache-)compile + time one path.  Returns a record dict.
+
+    Raises on any failure (build, compile, first run) — callers decide
+    fallback policy.
+    """
+    fn, variables, x = build_chained(model, dtype, use_pallas, batch, k,
+                                     engine=engine, int8=int8)
+    if exe_cache:
+        try:
+            from dfc_sa_unet_tpu.utils.exe_cache import cached_compile
+
+            # engine/int8 weights are baked into the executable, but in
+            # bench they are a deterministic function of (source, seed 0,
+            # model config) and source is already in the key — the salt
+            # only needs to separate the paths/shapes-invisible knobs.
+            salt = (f"bench|{model}|{np.dtype(dtype).name if dtype else 'f32'}"
+                    f"|pallas={use_pallas}|engine={engine}|int8={int8}|k={k}")
+            fn = cached_compile(fn, exe_cache, "bench", variables, x, salt=salt)
+        except Exception as e:  # noqa: BLE001 — cache is best-effort
+            print(f"# exe_cache unavailable ({type(e).__name__}: {e}); plain jit",
+                  file=sys.stderr)
+    float(fn(variables, x))  # compile (or cached load) + first run
+    dt = min(
+        (lambda t0: (float(fn(variables, x)), time.perf_counter() - t0)[1])(time.perf_counter())
+        for _ in range(repeats)
+    ) / k
+    ips = batch / dt
+    print(f"# {model}{' int8' if int8 else ''}: batch {batch}: "
+          f"{dt * 1e3:.2f} ms/step -> {ips:.1f} img/s", file=sys.stderr)
+    return _record(_metric_name(model, dtype, use_pallas, engine, int8), ips, batch)
+
+
+def _run_int8_subprocess(batch, k, repeats, timeout_s, exe_cache):
+    """Phase-2 upgrade: run `bench.py --int8` in a timeout-bounded child.
+
+    Returns its parsed record, or None on timeout/failure/zero-value —
+    the parent's already-printed module line then stands as the headline.
+    """
+    cmd = [sys.executable, os.path.abspath(__file__), "--int8",
+           "--batch", str(batch), "--k", str(k), "--repeats", str(repeats)]
+    cmd += ["--exe_cache", exe_cache] if exe_cache else ["--no_exe_cache"]
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        print(f"# int8 upgrade: timed out after {timeout_s:.0f}s; keeping module headline",
+              file=sys.stderr)
+        return None
+    except Exception as e:  # noqa: BLE001
+        print(f"# int8 upgrade: subprocess error {type(e).__name__}: {e}", file=sys.stderr)
+        return None
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    if out.returncode != 0 or not lines:
+        tail = (out.stderr or "").strip().splitlines()[-3:]
+        print(f"# int8 upgrade: child rc={out.returncode}, no record; "
+              + " | ".join(tail), file=sys.stderr)
+        return None
+    try:
+        rec = json.loads(lines[-1])
+    except ValueError:
+        return None
+    if rec.get("value", 0) <= 0:
+        print("# int8 upgrade: child produced a zero-value record; "
+              "keeping module headline", file=sys.stderr)
+        return None
+    return rec
+
+
+# --zoo: one JSON line per family (machine-readable regression tracking
+# for the transformer-zoo results that previously lived only in PERF.md).
+# (model, dtype-is-bf16, use_pallas, int8) — pallas'd bf16 is the serving
+# default for the transformer families (PERF.md round 3).
+ZOO_PATHS = [
+    ("DFC-SA-Res-Block", False, False),
+    ("DFC-SA-Res-Block", False, True),
+    ("UNet", False, False),
+    ("VisionTransformerSegmentation", True, False),
+    ("VisionTransformerSegmentation", True, True),
+    ("TransformerUNet", True, False),
+    ("TransformerUNet", True, True),
+]
+
+
+def run_zoo(args, exe_cache):
+    """Measure every family; print each record line as it completes and
+    write the array to BENCH_ZOO.json.  The LAST line printed is the
+    flagship headline (best of its module/int8 rows) so a --zoo run still
+    satisfies the driver's last-line contract."""
+    records = []
+    for model, pallas, int8 in ZOO_PATHS:
+        try:
+            rec = measure(model, jnp.bfloat16, pallas, args.batch or 128,
+                          args.k, args.repeats, int8=int8, exe_cache=exe_cache)
+        except Exception as e:  # noqa: BLE001
+            print(f"# zoo: {model}{' int8' if int8 else ''} failed: "
+                  f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+            continue
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
+    try:
+        with open(args.zoo_out, "w") as f:
+            json.dump(records, f, indent=1)
+        print(f"# zoo: wrote {len(records)} records to {args.zoo_out}", file=sys.stderr)
+    except OSError as e:
+        print(f"# zoo: could not write {args.zoo_out}: {e}", file=sys.stderr)
+    flagship = [r for r in records if r["metric"].startswith("DFC-SA-Res-Block")]
+    if flagship:
+        print(json.dumps(max(flagship, key=lambda r: r["value"])), flush=True)
+
+
 def main():
+    t0 = time.monotonic()
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=None, help="fixed batch (default: sweep)")
+    p.add_argument("--batch", type=int, default=None, help="fixed batch (default: 128)")
     p.add_argument("--fp32", action="store_true")
     p.add_argument("--pallas", action="store_true", help="use the Pallas fused attention kernel")
     p.add_argument("--engine", action="store_true",
@@ -113,70 +272,73 @@ def main():
                         "(DFC-SA / ViT-seg / TransUNet)")
     p.add_argument("--module", action="store_true",
                    help="force the plain module path (no serving engine)")
+    p.add_argument("--zoo", action="store_true",
+                   help="benchmark every model family; one JSON line each + BENCH_ZOO.json")
+    p.add_argument("--zoo_out", default=os.path.join(REPO_ROOT, "BENCH_ZOO.json"))
     p.add_argument("--k", type=int, default=8, help="chained steps per timing call")
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--model", type=str, default="DFC-SA-Res-Block")
+    p.add_argument("--exe_cache", type=str, default=DEFAULT_EXE_CACHE,
+                   help="compiled-executable cache dir (warm starts skip the "
+                        "380-930 s tunnel compile)")
+    p.add_argument("--no_exe_cache", action="store_true")
+    p.add_argument("--budget", type=float,
+                   default=float(os.environ.get("BENCH_BUDGET_S", "1200")),
+                   help="wall-clock budget (s) gating the phase-2 int8 attempt")
     args = p.parse_args()
 
     dtype = None if args.fp32 else jnp.bfloat16
-    # Default serving path: the int8-composed engine (the <=56 px levels
-    # down4+bottleneck+up_conv4+up_conv3 in s8) — the fastest
-    # gate-passing config measured on v5e (890.6 vs 870.7 img/s, PERF.md
-    # round 3).  Falls back to the plain module path if the quantized
-    # engine fails (non-flagship --model, etc.).
-    use_int8 = args.int8 or not (
-        args.module or args.engine or args.fp32 or args.pallas
-        or args.model != "DFC-SA-Res-Block"
-    )
+    exe_cache = None if args.no_exe_cache else args.exe_cache
     # batch 128 is the measured sweet spot on v5e (64/96/160/192 fall to
     # ~40% of its throughput — XLA picks a slower conv strategy; 256 ties)
-    batches = [args.batch] if args.batch else [128]
-    best_ips, best_batch = 0.0, 0
-    for b in batches:
-        try:
-            dt = None
-            while True:  # at most two passes: int8-composed, then module fallback
-                try:
-                    fn, variables, x = build_chained(
-                        args.model, dtype, args.pallas, b, args.k, engine=args.engine,
-                        int8=use_int8,
-                    )
-                    float(fn(variables, x))  # compile + first run
-                except Exception as e:
-                    # the default int8 path must never zero the headline —
-                    # fall back to the plain module path on ANY failure
-                    # (build, compile, or first run), unless int8 was forced
-                    if not use_int8 or args.int8:
-                        raise
-                    print(f"# int8 engine failed ({type(e).__name__}: {e}); "
-                          "falling back to module path", file=sys.stderr)
-                    use_int8 = False
-                    continue
-                break
-            dt = min(
-                (lambda t0: (float(fn(variables, x)), time.perf_counter() - t0)[1])(time.perf_counter())
-                for _ in range(args.repeats)
-            ) / args.k
-        except Exception as e:  # OOM etc.
-            print(f"# batch {b} failed: {type(e).__name__}: {e}", file=sys.stderr)
-            continue
-        ips = b / dt
-        print(f"# batch {b}: {dt * 1e3:.2f} ms/step -> {ips:.1f} img/s", file=sys.stderr)
-        if ips > best_ips:
-            best_ips, best_batch = ips, b
+    batch = args.batch or 128
 
-    print(json.dumps({
-        "metric": f"{args.model} 224x224 inference images/sec/chip"
-                  + (" (bf16)" if dtype else " (f32)")
-                  + (" (pallas)" if args.pallas else "")
-                  + (" (engine)" if args.engine else "")
-                  + (" (int8-composed engine)" if use_int8 else ""),
-        "value": round(best_ips, 1),
-        "unit": "images/sec",
-        "vs_baseline": round(best_ips / BASELINE_IMG_PER_SEC, 4),
-        "batch": best_batch,
-        "device": str(jax.devices()[0]),
-    }))
+    if args.zoo:
+        run_zoo(args, exe_cache)
+        return
+
+    explicit = (args.int8 or args.engine or args.module or args.fp32
+                or args.pallas or args.model != "DFC-SA-Res-Block")
+    if explicit:
+        # single-path mode: measure exactly what was asked; a failure
+        # yields a value-0 record rather than silently measuring another
+        # path (the caller asked for THIS one).
+        try:
+            rec = measure(args.model, dtype, args.pallas, batch, args.k, args.repeats,
+                          engine=args.engine, int8=args.int8, exe_cache=exe_cache)
+        except Exception as e:  # noqa: BLE001 — OOM, unsupported combo, ...
+            print(f"# batch {batch} failed: {type(e).__name__}: {e}", file=sys.stderr)
+            rec = _record(_metric_name(args.model, dtype, args.pallas,
+                                       args.engine, args.int8), 0.0, batch)
+        print(json.dumps(rec), flush=True)
+        return
+
+    # ---- default staged run ----
+    # phase 1: the proven module path; its line lands FIRST, whatever
+    # happens afterwards.
+    try:
+        rec = measure(args.model, dtype, False, batch, args.k, args.repeats,
+                      exe_cache=exe_cache)
+    except Exception as e:  # noqa: BLE001
+        print(f"# module path failed: {type(e).__name__}: {e}", file=sys.stderr)
+        rec = _record(_metric_name(args.model, dtype), 0.0, batch)
+    print(json.dumps(rec), flush=True)
+
+    # phase 2: int8 upgrade, only with comfortable remaining budget
+    # (skip when phase 1 already consumed >60% of the cap — i.e. a cold
+    # tunnel compile — per the round-3 post-mortem).
+    elapsed = time.monotonic() - t0
+    child_timeout = args.budget - elapsed - 120
+    if rec["value"] <= 0 or elapsed > 0.6 * args.budget or child_timeout < 180:
+        print(f"# int8 upgrade skipped: elapsed {elapsed:.0f}s of {args.budget:.0f}s budget",
+              file=sys.stderr)
+        return
+    up = _run_int8_subprocess(batch, args.k, args.repeats, child_timeout, exe_cache)
+    if up is not None and up.get("value", 0) > rec["value"]:
+        print(json.dumps(up), flush=True)
+    elif up is not None:
+        print(f"# int8 upgrade measured {up['value']} <= module {rec['value']}; "
+              "keeping module headline", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -1,11 +1,23 @@
-"""bench.py's default int8 path must degrade to the module path, never 0.
+"""bench.py driver contract: a valid JSON headline must ALWAYS land.
 
-The driver runs `python bench.py` at the end of every round; if the
-Int8DFCEngine fails on the real backend at build, compile, or first-run
-time, the headline must come from the plain module path instead of being
-reported as 0 img/s.  These tests exercise main()'s fallback control flow
-with a stubbed build_chained (the real engine/module paths are covered by
-test_quant.py / test_engine.py).
+Round 3's regression: the default path compiled the int8 engine first
+and printed nothing until everything finished — a slow tunnel compile
+blew the driver budget with zero output (BENCH_r03.json rc=124).  The
+reworked contract (these tests pin it):
+
+  * the plain module path's JSON line is printed and flushed BEFORE any
+    int8 upgrade attempt;
+  * the upgrade runs in a timeout-bounded subprocess; timeout/failure/
+    slower-than-module results leave the module line as the last line;
+  * a winning upgrade prints a second line (the driver parses the last);
+  * when phase 1 already consumed most of the budget (cold compile),
+    the upgrade is skipped entirely;
+  * forced --int8 surfaces failures as a value-0 record (no silent
+    module-path numbers).
+
+main()'s control flow is exercised with a stubbed build_chained and a
+stubbed subprocess runner (the real engine/module paths are covered by
+test_quant*.py / test_engine.py).
 """
 
 import json
@@ -18,9 +30,8 @@ import bench
 
 
 def _tiny_build(int8_behavior):
-    """A build_chained stub: module path returns a working chained fn;
-    int8 path misbehaves per `int8_behavior` ('build' raises at build time,
-    'run' raises at first call)."""
+    """build_chained stub: module path works; int8 path misbehaves per
+    `int8_behavior` ('build' raises at build time, 'run' at first call)."""
 
     def build(model_name, dtype, use_pallas, batch, k, size=224, engine=False, int8=False):
         if int8 and int8_behavior == "build":
@@ -38,30 +49,123 @@ def _tiny_build(int8_behavior):
     return build
 
 
-def _run_main(monkeypatch, capsys, argv, int8_behavior):
-    monkeypatch.setattr(bench, "build_chained", _tiny_build(int8_behavior))
-    monkeypatch.setattr(sys, "argv", ["bench.py", "--batch", "2", "--k", "1",
-                                      "--repeats", "1"] + argv)
+BASE_ARGV = ["bench.py", "--batch", "2", "--k", "1", "--repeats", "1",
+             "--no_exe_cache"]
+
+
+def _records(text):
+    return [json.loads(ln) for ln in text.strip().splitlines() if ln.startswith("{")]
+
+
+def test_module_line_lands_before_upgrade_attempt(monkeypatch, capsys):
+    """The headline is already on stdout when the int8 subprocess starts —
+    the driver gets a parseable line even if the child then hangs/crashes."""
+    monkeypatch.setattr(bench, "build_chained", _tiny_build("none"))
+    at_attempt = {}
+
+    def fake_sub(batch, k, repeats, timeout_s, exe_cache):
+        at_attempt["stdout"] = capsys.readouterr().out
+        at_attempt["timeout_s"] = timeout_s
+        return {"metric": "DFC-SA-Res-Block ... (int8-composed engine)",
+                "value": 1e12, "unit": "images/sec", "vs_baseline": 0.4995,
+                "batch": batch, "device": "stub"}
+
+    monkeypatch.setattr(bench, "_run_int8_subprocess", fake_sub)
+    monkeypatch.setattr(sys, "argv", BASE_ARGV)
     bench.main()
-    out = [l for l in capsys.readouterr().out.strip().splitlines() if l.startswith("{")]
-    return json.loads(out[-1])
+
+    before = _records(at_attempt["stdout"])
+    assert len(before) == 1 and before[0]["value"] > 0, at_attempt
+    assert "int8" not in before[0]["metric"]
+    assert at_attempt["timeout_s"] > 0
+    after = _records(capsys.readouterr().out)
+    assert after[-1]["value"] == 1e12 and "int8" in after[-1]["metric"]
 
 
-@pytest.mark.parametrize("behavior", ["build", "run"])
-def test_bench_int8_failure_falls_back_to_module(monkeypatch, capsys, behavior):
-    rec = _run_main(monkeypatch, capsys, [], behavior)
-    assert rec["value"] > 0, rec
-    assert "int8" not in rec["metric"], rec
+@pytest.mark.parametrize("sub_result", [None, {"value": 0.5, "metric": "int8"}])
+def test_failed_or_slower_upgrade_keeps_module_headline(monkeypatch, capsys, sub_result):
+    monkeypatch.setattr(bench, "build_chained", _tiny_build("none"))
+    monkeypatch.setattr(bench, "_run_int8_subprocess",
+                        lambda *a, **kw: sub_result)
+    monkeypatch.setattr(sys, "argv", BASE_ARGV)
+    bench.main()
+    recs = _records(capsys.readouterr().out)
+    assert len(recs) == 1, recs
+    assert recs[0]["value"] > 0 and "int8" not in recs[0]["metric"]
+
+
+def test_budget_exhausted_skips_upgrade(monkeypatch, capsys):
+    """Slow phase 1 (cold compile) must not trigger phase 2 at all."""
+    monkeypatch.setattr(bench, "build_chained", _tiny_build("none"))
+    called = []
+    monkeypatch.setattr(bench, "_run_int8_subprocess",
+                        lambda *a, **kw: called.append(1))
+    # budget 0: phase 1 has by definition consumed >60% of it
+    monkeypatch.setattr(sys, "argv", BASE_ARGV + ["--budget", "0"])
+    bench.main()
+    recs = _records(capsys.readouterr().out)
+    assert len(recs) == 1 and recs[0]["value"] > 0
+    assert not called
+
+
+def test_module_phase_failure_still_prints_a_line(monkeypatch, capsys):
+    def broken_build(*a, **kw):
+        raise RuntimeError("synthetic module failure")
+
+    monkeypatch.setattr(bench, "build_chained", broken_build)
+    monkeypatch.setattr(bench, "_run_int8_subprocess", lambda *a, **kw: None)
+    monkeypatch.setattr(sys, "argv", BASE_ARGV)
+    bench.main()
+    recs = _records(capsys.readouterr().out)
+    assert len(recs) == 1 and recs[0]["value"] == 0.0
 
 
 def test_bench_forced_int8_does_not_fall_back(monkeypatch, capsys):
-    # forced --int8 must surface the failure (no silent module-path numbers):
-    # the batch is skipped and the headline reads 0 rather than lying
-    rec = _run_main(monkeypatch, capsys, ["--int8"], "build")
-    assert rec["value"] == 0.0, rec
+    # forced --int8 must surface the failure (no silent module-path
+    # numbers): the headline reads 0 rather than lying
+    monkeypatch.setattr(bench, "build_chained", _tiny_build("build"))
+    monkeypatch.setattr(sys, "argv", BASE_ARGV + ["--int8"])
+    bench.main()
+    recs = _records(capsys.readouterr().out)
+    assert recs[-1]["value"] == 0.0 and "int8" in recs[-1]["metric"]
 
 
-def test_bench_default_int8_success_is_reported_as_int8(monkeypatch, capsys):
-    rec = _run_main(monkeypatch, capsys, [], "none")
-    assert rec["value"] > 0, rec
-    assert "int8" in rec["metric"], rec
+def test_forced_int8_success_is_reported_as_int8(monkeypatch, capsys):
+    monkeypatch.setattr(bench, "build_chained", _tiny_build("none"))
+    monkeypatch.setattr(sys, "argv", BASE_ARGV + ["--int8"])
+    bench.main()
+    recs = _records(capsys.readouterr().out)
+    assert recs[-1]["value"] > 0 and "int8" in recs[-1]["metric"]
+
+
+def test_zoo_emits_per_family_lines_and_artifact(monkeypatch, capsys, tmp_path):
+    monkeypatch.setattr(bench, "build_chained", _tiny_build("none"))
+    out = tmp_path / "BENCH_ZOO.json"
+    monkeypatch.setattr(sys, "argv", BASE_ARGV + ["--zoo", "--zoo_out", str(out)])
+    bench.main()
+    recs = _records(capsys.readouterr().out)
+    # one line per ZOO_PATHS row + the repeated flagship headline
+    assert len(recs) == len(bench.ZOO_PATHS) + 1
+    assert recs[-1]["metric"].startswith("DFC-SA-Res-Block")
+    names = {r["metric"] for r in recs[:-1]}
+    assert any("VisionTransformerSegmentation" in n and "int8" in n for n in names)
+    assert any("TransformerUNet" in n and "int8" not in n for n in names)
+    saved = json.loads(out.read_text())
+    assert len(saved) == len(bench.ZOO_PATHS)
+
+
+def test_zoo_family_failure_is_skipped_not_fatal(monkeypatch, capsys, tmp_path):
+    base = _tiny_build("none")
+
+    def build(model_name, *a, **kw):
+        if model_name == "UNet":
+            raise RuntimeError("synthetic family failure")
+        return base(model_name, *a, **kw)
+
+    monkeypatch.setattr(bench, "build_chained", build)
+    out = tmp_path / "BENCH_ZOO.json"
+    monkeypatch.setattr(sys, "argv", BASE_ARGV + ["--zoo", "--zoo_out", str(out)])
+    bench.main()
+    recs = _records(capsys.readouterr().out)
+    assert len(recs) == len(bench.ZOO_PATHS)  # one family dropped, +1 headline
+    assert recs[-1]["metric"].startswith("DFC-SA-Res-Block")

@@ -98,8 +98,15 @@ class Trainer:
         # sums) are computed over each microbatch and AVERAGED, which is
         # not identical to one dice over the virtual batch — gradients
         # differ slightly from a true monolithic B=N*M step (BCE terms
-        # are exact; the update count is unchanged).
+        # are exact; the update count is unchanged).  Opt in to
+        # ``grad_accum_exact`` for monolithic loss semantics: the loss
+        # (and its gradient) is computed over the probs of the WHOLE
+        # virtual batch, with the forward scan rematerialized so memory
+        # stays at one microbatch (cost: one extra forward per
+        # microbatch in the backward pass).  BatchNorm still normalizes
+        # per microbatch either way.
         self.grad_accum = int(tr.get("grad_accum", 1))
+        self.grad_accum_exact = bool(tr.get("grad_accum_exact", False))
         loss_cfg = tr.get("loss", {}) or {}
         self.loss_type = loss_cfg.get("type", "dice")
         self.loss_params = dict(loss_cfg.get("params", {}) or {})
@@ -376,22 +383,52 @@ class Trainer:
                 # None) here would silently all-gather the batch and run
                 # every device replicated)
 
-            def micro(carry, inp):
-                stats, gacc = carry
-                i, xi, ti = inp
-                (loss_i, (probs_i, new_stats)), grads_i = jax.value_and_grad(
-                    loss_fn, has_aux=True
-                )(state.params, stats, xi, ti, jax.random.fold_in(rng, i))
-                gacc = jax.tree.map(lambda a, g: a + g, gacc, grads_i)
-                return (new_stats, gacc), (loss_i, probs_i)
+            if self.grad_accum_exact:
+                # Exact virtual-batch semantics: the batch-coupled
+                # dice/tversky/joint sums run over ALL accum*mb samples at
+                # once, so gradients equal the monolithic B-sized step's
+                # (for BN-free models bitwise; with BN the per-microbatch
+                # normalization remains the documented deviation).  The
+                # scan body is rematerialized so only one microbatch's
+                # activations are live at a time; the backward recomputes
+                # each forward (2 fwd + 1 bwd per microbatch — grad-accum
+                # memory with monolithic loss semantics).
+                def virtual_loss(params):
+                    def body(stats, inp):
+                        i, xi = inp
+                        logits, new_stats = self._forward(
+                            params, stats, xi, True, jax.random.fold_in(rng, i)
+                        )
+                        return new_stats, jax.nn.sigmoid(logits.astype(jnp.float32))
 
-            zero_g = jax.tree.map(jnp.zeros_like, state.params)
-            (new_stats, gsum), (losses, probs_m) = jax.lax.scan(
-                micro, (state.batch_stats, zero_g), (jnp.arange(accum), xm, tm)
-            )
-            loss = losses.mean()
-            grads = jax.tree.map(lambda g: g / accum, gsum)
-            probs = probs_m.reshape(bsz, *probs_m.shape[2:])
+                    new_stats, probs_m = jax.lax.scan(
+                        jax.checkpoint(body), state.batch_stats,
+                        (jnp.arange(accum), xm),
+                    )
+                    probs_full = probs_m.reshape(bsz, *probs_m.shape[2:])
+                    loss = compute_loss(probs_full, t, self.loss_type, self.loss_params)
+                    return loss, (probs_full, new_stats)
+
+                (loss, (probs, new_stats)), grads = jax.value_and_grad(
+                    virtual_loss, has_aux=True
+                )(state.params)
+            else:
+                def micro(carry, inp):
+                    stats, gacc = carry
+                    i, xi, ti = inp
+                    (loss_i, (probs_i, new_stats)), grads_i = jax.value_and_grad(
+                        loss_fn, has_aux=True
+                    )(state.params, stats, xi, ti, jax.random.fold_in(rng, i))
+                    gacc = jax.tree.map(lambda a, g: a + g, gacc, grads_i)
+                    return (new_stats, gacc), (loss_i, probs_i)
+
+                zero_g = jax.tree.map(jnp.zeros_like, state.params)
+                (new_stats, gsum), (losses, probs_m) = jax.lax.scan(
+                    micro, (state.batch_stats, zero_g), (jnp.arange(accum), xm, tm)
+                )
+                loss = losses.mean()
+                grads = jax.tree.map(lambda g: g / accum, gsum)
+                probs = probs_m.reshape(bsz, *probs_m.shape[2:])
         else:
             (loss, (probs, new_stats)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True

@@ -87,6 +87,12 @@ def main():
                              "per microbatch and averaged, and BN stats thread through the "
                              "microbatches — both slightly differ from a monolithic batch "
                              "(the SGD update is still one step)")
+    parser.add_argument("--grad_accum_exact", action="store_true",
+                        help="with --grad_accum: compute the loss (and gradient) over "
+                             "the WHOLE virtual batch — monolithic semantics for the "
+                             "batch-coupled dice/tversky/joint sums — at the cost of one "
+                             "extra forward per microbatch (rematerialized scan). "
+                             "YAML: training.grad_accum_exact")
     args = parser.parse_args()
 
     config = load_config(args.config)
@@ -104,6 +110,8 @@ def main():
             print("training.device='cpu': forcing the CPU backend")
     if args.grad_accum:
         config["training"]["grad_accum"] = args.grad_accum
+    if args.grad_accum_exact:
+        config["training"]["grad_accum_exact"] = True
     if args.exe_cache:
         config["training"]["exe_cache_dir"] = args.exe_cache
     apply_overrides(

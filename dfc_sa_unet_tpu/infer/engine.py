@@ -176,15 +176,24 @@ class DFCEngine:
         o = resize_bilinear(o, (h, w), align_corners=False)
         return (d["gamma"] * o.astype(jnp.float32) + a.astype(jnp.float32)).astype(a.dtype)
 
-    def _tail_lax(self, d, local, a, x):
+    def _tail_lax(self, d, local, a, x, name=None, ranges=None):
         """Mirror of the module tail with BN pre-folded; concat + lax.conv
-        (the TPU-fast formulation, see PERF.md)."""
+        (the TPU-fast formulation, see PERF.md).  With ``ranges`` (a dict,
+        calibration mode) the int8 quantization points c2/c3 are recorded
+        via quant.range_tap — serving and calibration share this one
+        forward implementation."""
+        from dfc_sa_unet_tpu.infer.quant import range_tap
+
+        pct = getattr(self, "calib_percentile", None)
         combined = jnp.concatenate([local, a], axis=-1)
+        range_tap(ranges, f"{name}.c2", combined, pct)
         g = _conv(combined, *d["kg"], padding=0)
         g = jax.nn.sigmoid(g.astype(jnp.float32))
         lf, af = local.astype(jnp.float32), a.astype(jnp.float32)
         fused = (g * lf + (1.0 - g) * af).astype(local.dtype)
-        o = _conv(jnp.concatenate([fused, combined], axis=-1), *d["kf"], padding=0)
+        cat3 = jnp.concatenate([fused, combined], axis=-1)
+        range_tap(ranges, f"{name}.c3", cat3, pct)
+        o = _conv(cat3, *d["kf"], padding=0)
         o = jnp.maximum(o.astype(jnp.float32), 0.0)
         if d["kr"] is not None:
             res = jax.lax.conv_general_dilated(
@@ -196,10 +205,14 @@ class DFCEngine:
             o = o + d["res_scale"] * x.astype(jnp.float32)
         return o.astype(local.dtype)
 
-    def _block(self, name, x):
+    def _block(self, name, x, ranges=None):
         d = self.blocks[name]
         kc, bc = d["conv"]
-        if name in self.pallas_conv_levels and conv_supported(
+        if ranges is not None:
+            from dfc_sa_unet_tpu.infer.quant import range_tap
+
+            range_tap(ranges, f"{name}.x", x, getattr(self, "calib_percentile", None))
+        if ranges is None and name in self.pallas_conv_levels and conv_supported(
             x.shape[0], x.shape[1], x.shape[2], x.shape[-1], kc.shape[-1],
             itemsize=x.dtype.itemsize,
         ):
@@ -223,30 +236,33 @@ class DFCEngine:
         a = jnp.maximum(_conv(x, *d["attn0"], padding=0).astype(jnp.float32), 0.0).astype(x.dtype)
         a = self._lsa(d["lsa"], a)
         local = jnp.maximum(y3.astype(jnp.float32) + bc, 0.0).astype(x.dtype)
-        return self._tail_lax(d, local, a, x)
+        return self._tail_lax(d, local, a, x, name=name, ranges=ranges)
+
+    def _fwd(self, x, ranges=None):
+        """The one forward implementation: serving (``ranges=None``) and
+        int8 calibration (``ranges`` dict collects quantization-point
+        statistics) share it, so they cannot drift apart."""
+        x = x.astype(self.dtype)
+        skips = []
+        h = x
+        for i in range(1, 5):
+            h = self._block(f"down{i}", h, ranges)
+            skips.append(h)
+            h = max_pool(h, 2, 2)
+        h = self._block("bottleneck", h, ranges)
+        for i in range(4, 0, -1):
+            skip = skips[i - 1]
+            kt, bt = self.ups[f"up{i}"]
+            h = conv_transpose_2x2(h, kt.astype(h.dtype), bt)
+            if h.shape[1:3] != skip.shape[1:3]:
+                h = resize_bilinear(h, skip.shape[1:3], align_corners=False)
+            h = jnp.concatenate([h, skip], axis=-1)
+            h = self._block(f"up_conv{i}", h, ranges)
+        kf, bf = self.final
+        return _conv(h, kf, bf, padding=0)
 
     def _build_forward(self):
-        def forward(x):
-            x = x.astype(self.dtype)
-            skips = []
-            h = x
-            for i in range(1, 5):
-                h = self._block(f"down{i}", h)
-                skips.append(h)
-                h = max_pool(h, 2, 2)
-            h = self._block("bottleneck", h)
-            for i in range(4, 0, -1):
-                skip = skips[i - 1]
-                kt, bt = self.ups[f"up{i}"]
-                h = conv_transpose_2x2(h, kt.astype(h.dtype), bt)
-                if h.shape[1:3] != skip.shape[1:3]:
-                    h = resize_bilinear(h, skip.shape[1:3], align_corners=False)
-                h = jnp.concatenate([h, skip], axis=-1)
-                h = self._block(f"up_conv{i}", h)
-            kf, bf = self.final
-            return _conv(h, kf, bf, padding=0)
-
-        return forward
+        return lambda x: self._fwd(x)
 
     def __call__(self, x):
         return self._forward(x)

@@ -41,9 +41,6 @@ import jax
 import jax.numpy as jnp
 
 from dfc_sa_unet_tpu.infer.engine import DFCEngine, _conv
-from dfc_sa_unet_tpu.ops.pooling import max_pool
-from dfc_sa_unet_tpu.ops.convt import conv_transpose_2x2
-from dfc_sa_unet_tpu.ops.resize import resize_bilinear
 
 # Isolated probe winners (scripts/bench_int8.py + bench_int8_1x1.py,
 # B=128 on v5e): conv3x3 s8+deq vs bf16: down4 1.12x, bottleneck 1.18x,
@@ -97,6 +94,58 @@ def quantize_act(x, scale):
     ).astype(jnp.int8)
 
 
+def range_tap(ranges, key, t, percentile=None):
+    """Record tensor ``t``'s quantization range into ``ranges[key]``.
+
+    No-op when ``ranges`` is None (serving mode) — the fp forwards call
+    this unconditionally so calibration and serving share one forward
+    implementation.  Default statistic is max|t|; with ``percentile``
+    (e.g. 99.9) the that percentile of |t| is used instead, which is
+    robust to a single outlier calibration image (clipped outliers cost
+    far less dice than a 10x-inflated scale costs resolution)."""
+    if ranges is None:
+        return
+    a = jnp.abs(t.astype(jnp.float32))
+    ranges[key] = (jnp.max(a) if percentile is None
+                   else jnp.percentile(a.reshape(-1), percentile))
+
+
+def int8_self_check(engine, gate_flip: float = 5e-3, strict: bool = False,
+                    label: str = "int8"):
+    """Serving-time sanity check for a calibrated int8 engine.
+
+    Compares the quantized engine's probabilities against the fp
+    probabilities captured during calibration, on the first calibration
+    batch.  Guards a user's arbitrary checkpoint + outlier calibration
+    image — the accuracy gates in tests/test_quant*.py protect only the
+    shipped test models.  Returns ``{"flip_rate", "mean_abs_dprob"}``
+    (or None when the engine was built without calibration, e.g. preset
+    or "timing" scales).  ``flip_rate`` is the fraction of pixels whose
+    0.5-thresholded mask flips; above ``gate_flip`` a warning prints, or
+    RuntimeError is raised under ``strict``.
+
+    Note: on the tunneled TPU backend this compiles one extra executable
+    (the engine forward at the calibration batch shape).
+    """
+    if getattr(engine, "calib_batch", None) is None:
+        return None
+    q = jax.nn.sigmoid(engine._forward(engine.calib_batch).astype(jnp.float32))
+    fp = engine.calib_fp_probs
+    flip = float(jnp.mean(((q > 0.5) != (fp > 0.5)).astype(jnp.float32)))
+    mad = float(jnp.mean(jnp.abs(q - fp)))
+    metrics = {"flip_rate": flip, "mean_abs_dprob": mad}
+    if flip > gate_flip:
+        msg = (f"{label} self-check: quantized vs fp masks disagree on "
+               f"{flip:.3%} of calibration pixels (gate {gate_flip:.3%}, "
+               f"mean |dprob| {mad:.4f}) — the static scales may not fit "
+               f"this checkpoint/data (try a percentile calibration, e.g. "
+               f"--int8_percentile 99.9, or more calibration images)")
+        if strict:
+            raise RuntimeError(msg)
+        print(f"WARNING: {msg}")
+    return metrics
+
+
 def _conv_s8(x8, q, pad):
     return jax.lax.conv_general_dilated(
         x8, q, (1, 1), ((pad, pad), (pad, pad)),
@@ -122,8 +171,15 @@ class Int8DFCEngine(DFCEngine):
         int8_levels="auto",
         act_scales: Optional[Mapping[str, float]] = None,
         calib_batches: Optional[Iterable] = None,
+        calib_percentile: Optional[float] = None,
     ):
         super().__init__(config, variables, dtype=dtype, pallas_conv_levels=None)
+        # percentile (e.g. 99.9) instead of max-abs activation ranges —
+        # robust to outlier calibration images (range_tap)
+        self.calib_percentile = calib_percentile
+        # first calibration batch + its fp probs, kept for int8_self_check
+        self.calib_batch = None
+        self.calib_fp_probs = None
         # ``int8_levels`` accepts: "auto" (the per-op probe winners), an
         # iterable of level names (quantize every conv of those levels),
         # or a {level: op-subset} mapping for arbitrary A/B slices.
@@ -184,68 +240,26 @@ class Int8DFCEngine(DFCEngine):
 
     # -------------------------------------------------------- calibration
 
-    def _block_fp_ranges(self, name, x, ranges):
-        """The fp block (engine fallback path) that also records the
-        max-abs of the three tensors the quantized path will quantize."""
-        d = self.blocks[name]
-        kc, bc = d["conv"]
-        ranges[f"{name}.x"] = jnp.max(jnp.abs(x.astype(jnp.float32)))
-        y3 = jax.lax.conv_general_dilated(
-            x, kc.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ).astype(x.dtype)
-        a = jnp.maximum(_conv(x, *d["attn0"], padding=0).astype(jnp.float32), 0.0).astype(x.dtype)
-        a = self._lsa(d["lsa"], a)
-        local = jnp.maximum(y3.astype(jnp.float32) + bc, 0.0).astype(x.dtype)
-        combined = jnp.concatenate([local, a], axis=-1)
-        ranges[f"{name}.c2"] = jnp.max(jnp.abs(combined.astype(jnp.float32)))
-        g = _conv(combined, *d["kg"], padding=0)
-        g = jax.nn.sigmoid(g.astype(jnp.float32))
-        lf, af = local.astype(jnp.float32), a.astype(jnp.float32)
-        fused = (g * lf + (1.0 - g) * af).astype(local.dtype)
-        cat3 = jnp.concatenate([fused, combined], axis=-1)
-        ranges[f"{name}.c3"] = jnp.max(jnp.abs(cat3.astype(jnp.float32)))
-        o = _conv(cat3, *d["kf"], padding=0)
-        o = jnp.maximum(o.astype(jnp.float32), 0.0)
-        if d["kr"] is not None:
-            res = jax.lax.conv_general_dilated(
-                x, d["kr"].astype(x.dtype), (1, 1), ((0, 0), (0, 0)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
-            o = o + res.astype(jnp.float32)
-        else:
-            o = o + d["res_scale"] * x.astype(jnp.float32)
-        return o.astype(local.dtype)
-
     def _forward_ranges(self, x):
-        """FP forward that returns (logits, {tensor: max-abs})."""
-        ranges = {}
-        x = x.astype(self.dtype)
-        skips = []
-        h = x
-        for i in range(1, 5):
-            h = self._block_fp_ranges(f"down{i}", h, ranges)
-            skips.append(h)
-            h = max_pool(h, 2, 2)
-        h = self._block_fp_ranges("bottleneck", h, ranges)
-        for i in range(4, 0, -1):
-            skip = skips[i - 1]
-            kt, bt = self.ups[f"up{i}"]
-            h = conv_transpose_2x2(h, kt.astype(h.dtype), bt)
-            if h.shape[1:3] != skip.shape[1:3]:
-                h = resize_bilinear(h, skip.shape[1:3], align_corners=False)
-            h = jnp.concatenate([h, skip], axis=-1)
-            h = self._block_fp_ranges(f"up_conv{i}", h, ranges)
-        kf, bf = self.final
-        return _conv(h, kf, bf, padding=0), ranges
+        """FP forward returning (logits, range statistics) — the SAME
+        ``DFCEngine._fwd`` the fp serving path runs (with range taps
+        active), so calibration can never drift from serving math."""
+        ranges: dict = {}
+        logits = self._fwd(x, ranges)
+        return logits, ranges
 
     def collect_act_scales(self, calib_batches: Iterable) -> dict:
-        """Max-abs calibration over normalized NHWC batches -> scales."""
+        """Range calibration over normalized NHWC batches -> scales
+        (max-abs, or the ctor's ``calib_percentile`` of |t|).  Also
+        captures the first batch + its fp probs for int8_self_check."""
         fwd = jax.jit(self._forward_ranges)
         maxima: dict = {}
         n = 0
         for xb in calib_batches:
-            _, ranges = fwd(jnp.asarray(xb))
+            logits, ranges = fwd(jnp.asarray(xb))
+            if n == 0:
+                self.calib_batch = jnp.asarray(xb)
+                self.calib_fp_probs = jax.nn.sigmoid(logits.astype(jnp.float32))
             for k, v in ranges.items():
                 v = float(v)
                 maxima[k] = max(maxima.get(k, 0.0), v)
@@ -256,7 +270,10 @@ class Int8DFCEngine(DFCEngine):
 
     # ---------------------------------------------------- quantized block
 
-    def _block(self, name, x):
+    def _block(self, name, x, ranges=None):
+        if ranges is not None:
+            # calibration mode: always the fp math (+ taps)
+            return super()._block(name, x, ranges)
         ops = getattr(self, "int8_ops", {}).get(name)
         if not ops:
             return super()._block(name, x)

@@ -86,6 +86,7 @@ class Int8TransUNetEngine:
         calib_batches: Optional[Iterable] = None,
         use_pallas: bool = True,
         vit_config: Optional[Mapping[str, Any]] = None,
+        calib_percentile: Optional[float] = None,
     ):
         m = config["model"]
         if m.get("name") not in ("TransformerUNet", "TransUNet"):
@@ -93,6 +94,9 @@ class Int8TransUNetEngine:
                              f"got {m.get('name')!r}")
         self.dtype = dtype
         self.use_pallas = use_pallas
+        self.calib_percentile = calib_percentile
+        self.calib_batch = None
+        self.calib_fp_probs = None
 
         img_size_cfg = config.get("dataset", {}).get("img_size", [224, 224])
         self.img_size = (img_size_cfg[0] if isinstance(img_size_cfg, (list, tuple))
@@ -207,16 +211,23 @@ class Int8TransUNetEngine:
         ).astype(q.dtype)
         return out.transpose(0, 2, 1, 3).reshape(b, n, e)
 
-    def _layer(self, i, x):
+    def _layer(self, i, x, ranges=None):
         """Pre-norm block (models/transunet.py:_VitBlock); the residual
         stream stays f32 exactly like the module path (LayerNorm emits
-        x.dtype, the f32 stream promotes every residual add)."""
+        x.dtype, the f32 stream promotes every residual add).  With
+        ``ranges`` (calibration mode) the fp math runs unconditionally
+        and the four quantization points are recorded via
+        quant.range_tap — serving and calibration share this one
+        implementation."""
+        from dfc_sa_unet_tpu.infer.quant import range_tap
+
         d = self.layers[i]
-        ops = self.int8_ops.get(i, frozenset())
+        ops = frozenset() if ranges is not None else self.int8_ops.get(i, frozenset())
         q = self.qlayers.get(i, {})
         dt = self.dtype
 
         y = _layernorm(x, d["n1s"], d["n1b"], eps=1e-6)
+        range_tap(ranges, f"{i}.ln_a", y, self.calib_percentile)
         if "qkv" in ops:
             qw, sw = q["qkv"]
             qkv = _dense_s8(y, qw, sw, self.act_scales[f"{i}.ln_a"], d["in_b"])
@@ -226,6 +237,7 @@ class Int8TransUNetEngine:
                 preferred_element_type=jnp.float32,
             ) + d["in_b"]
         a = self._attention(qkv.astype(dt))
+        range_tap(ranges, f"{i}.attn", a, self.calib_percentile)
         if "out" in ops:
             ow, so = q["out"]
             sa = _dense_s8(a, ow, so, self.act_scales[f"{i}.attn"], d["out_b"]).astype(dt)
@@ -234,6 +246,7 @@ class Int8TransUNetEngine:
         x = x + sa
 
         y = _layernorm(x, d["n2s"], d["n2b"], eps=1e-6)
+        range_tap(ranges, f"{i}.ln_f", y, self.calib_percentile)
         if "fc1" in ops:
             w1, s1 = q["fc1"]
             h = _dense_s8(y, w1, s1, self.act_scales[f"{i}.ln_f"], d["b1"])
@@ -241,6 +254,7 @@ class Int8TransUNetEngine:
         else:
             h = _dense(y, d["w1"], d["b1"], dt)
             h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(h.dtype)
+        range_tap(ranges, f"{i}.gelu", h, self.calib_percentile)
         if "fc2" in ops:
             w2, s2 = q["fc2"]
             h = _dense_s8(h, w2, s2, self.act_scales[f"{i}.gelu"], d["b2"]).astype(dt)
@@ -248,60 +262,49 @@ class Int8TransUNetEngine:
             h = _dense(h, d["w2"], d["b2"], dt)
         return x + h
 
-    def _encode(self, x):
+    def _encode(self, x, ranges=None):
         """Hybrid embed -> 12 int8/fp blocks -> encoder_norm; returns
         (tokens, skip features)."""
         if x.shape[-1] == 1:
             x = jnp.repeat(x, 3, axis=-1)
         y, feats = self._embed_mod.apply(self._embed_vars, x, False)
         for i in range(self.num_layers):
-            y = self._layer(i, y)
+            y = self._layer(i, y, ranges)
         return _layernorm(y, self.enc_ns, self.enc_nb, eps=1e-6), feats
 
-    def _build_forward(self):
-        def forward(x):
-            y, feats = self._encode(x)
-            y = self._decoder_mod.apply(self._decoder_vars, y, feats, False)
-            return self._head_mod.apply(self._head_vars, y)
+    def _fwd(self, x, ranges=None):
+        """The one forward implementation: serving (``ranges=None``) and
+        calibration (``ranges`` dict, fp math + range taps) share it."""
+        y, feats = self._encode(x, ranges)
+        y = self._decoder_mod.apply(self._decoder_vars, y, feats, False)
+        return self._head_mod.apply(self._head_vars, y)
 
-        return forward
+    def _build_forward(self):
+        return lambda x: self._fwd(x)
 
     # ---- calibration -----------------------------------------------------
     def _forward_ranges(self, x):
-        """fp forward that also returns per-layer max-abs of the four
-        quantization points (attention_norm out, attention out, ffn_norm
-        out, GELU out)."""
-        ranges = {}
-        if x.shape[-1] == 1:
-            x = jnp.repeat(x, 3, axis=-1)
-        y, _ = self._embed_mod.apply(self._embed_vars, x, False)
-        dt = self.dtype
-        for i in range(self.num_layers):
-            d = self.layers[i]
-            z = _layernorm(y, d["n1s"], d["n1b"], eps=1e-6)
-            ranges[f"{i}.ln_a"] = jnp.max(jnp.abs(z.astype(jnp.float32)))
-            qkv = jnp.einsum(
-                "bne,ef->bnf", z.astype(dt), d["in_w"].astype(dt),
-                preferred_element_type=jnp.float32,
-            ) + d["in_b"]
-            a = self._attention(qkv.astype(dt))
-            ranges[f"{i}.attn"] = jnp.max(jnp.abs(a.astype(jnp.float32)))
-            y = y + _dense(a, d["out_w"], d["out_b"], dt)
-            z = _layernorm(y, d["n2s"], d["n2b"], eps=1e-6)
-            ranges[f"{i}.ln_f"] = jnp.max(jnp.abs(z.astype(jnp.float32)))
-            h = _dense(z, d["w1"], d["b1"], dt)
-            h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(h.dtype)
-            ranges[f"{i}.gelu"] = jnp.max(jnp.abs(h.astype(jnp.float32)))
-            y = y + _dense(h, d["w2"], d["b2"], dt)
-        return ranges
+        """fp forward returning (logits, per-layer range statistics of the
+        four quantization points: attention_norm out, attention out,
+        ffn_norm out, GELU out)."""
+        ranges: dict = {}
+        logits = self._fwd(x, ranges)
+        return logits, ranges
 
     def collect_act_scales(self, calib_batches: Iterable) -> dict:
-        """Max-abs static per-tensor scales over calibration batches
-        (normalized NHWC, same contract as __call__)."""
+        """Static per-tensor scales over calibration batches (normalized
+        NHWC, same contract as __call__): max-abs, or the ctor's
+        ``calib_percentile`` of |t|.  Captures the first batch + its fp
+        probs for quant.int8_self_check."""
         fn = jax.jit(self._forward_ranges)
         acc = {}
+        first = True
         for xb in calib_batches:
-            r = fn(jnp.asarray(xb))
+            logits, r = fn(jnp.asarray(xb))
+            if first:
+                self.calib_batch = jnp.asarray(xb)
+                self.calib_fp_probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+                first = False
             for k, v in r.items():
                 acc[k] = max(acc.get(k, 0.0), float(v))
         return {k: max(v, 1e-6) / 127.0 for k, v in acc.items()}

@@ -98,6 +98,7 @@ class Int8ViTEngine:
         act_scales: Optional[Mapping[str, float]] = None,
         calib_batches: Optional[Iterable] = None,
         use_pallas: bool = True,
+        calib_percentile: Optional[float] = None,
     ):
         m = config["model"]
         if m.get("name") != "VisionTransformerSegmentation":
@@ -105,6 +106,9 @@ class Int8ViTEngine:
                              f"got {m.get('name')!r}")
         self.dtype = dtype
         self.use_pallas = use_pallas
+        self.calib_percentile = calib_percentile
+        self.calib_batch = None
+        self.calib_fp_probs = None
         self.img_dim = m.get("img_dim", 224)
         self.patch_dim = m.get("patch_dim", 16)
         self.num_heads = m.get("num_heads", 12)
@@ -210,12 +214,20 @@ class Int8ViTEngine:
         ).astype(self.dtype)
         return out.transpose(0, 2, 1, 3).reshape(b, n, e)
 
-    def _layer(self, i, x):
+    def _layer(self, i, x, ranges=None):
+        """One encoder block.  With ``ranges`` (calibration mode) the fp
+        math runs unconditionally and the four quantization points are
+        recorded via quant.range_tap — serving and calibration share
+        this one implementation (an edit here cannot silently diverge
+        from the calibration graph)."""
+        from dfc_sa_unet_tpu.infer.quant import range_tap
+
         d = self.layers[i]
-        ops = self.int8_ops.get(i, frozenset())
+        ops = frozenset() if ranges is not None else self.int8_ops.get(i, frozenset())
         q = self.qlayers.get(i, {})
         dt = self.dtype
 
+        range_tap(ranges, f"{i}.x", x, self.calib_percentile)
         if "qkv" in ops:
             qw, sw = q["qkv"]
             qkv = _dense_s8(x, qw, sw, self.act_scales[f"{i}.x"], d["in_b"])
@@ -226,6 +238,7 @@ class Int8ViTEngine:
                 preferred_element_type=jnp.float32,
             ) + d["in_b"]
         a = self._attention(qkv.astype(dt))
+        range_tap(ranges, f"{i}.attn", a, self.calib_percentile)
 
         if "out" in ops:
             ow, so = q["out"]
@@ -233,6 +246,7 @@ class Int8ViTEngine:
         else:
             sa = _dense(a, d["out_w"], d["out_b"], dt)
         x = _layernorm(x + sa, d["n1s"], d["n1b"])
+        range_tap(ranges, f"{i}.ln1", x, self.calib_percentile)
 
         if "fc1" in ops:
             w1, s1 = q["fc1"]
@@ -241,6 +255,7 @@ class Int8ViTEngine:
         else:
             h = _dense(x, d["w1"], d["b1"], dt)
             h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(h.dtype)
+        range_tap(ranges, f"{i}.gelu", h, self.calib_percentile)
         if "fc2" in ops:
             w2, s2 = q["fc2"]
             h = _dense_s8(h, w2, s2, self.act_scales[f"{i}.gelu"], d["b2"]).astype(dt)
@@ -279,55 +294,46 @@ class Int8ViTEngine:
         )
         return z.astype(jnp.float32) + self.final_b
 
-    def _build_forward(self):
-        def forward(x):
-            b, h, w, _ = x.shape
-            feat = self.img_dim // self.patch_dim
-            y = self._embed(x)
-            for i in range(self.num_layers):
-                y = self._layer(i, y)
-            y = y.reshape(b, feat, feat, y.shape[-1]).astype(self.dtype)
-            logits = self._head(y)
-            if logits.shape[1:3] != (h, w):
-                logits = resize_bilinear(logits, (h, w), align_corners=False)
-            return logits
+    def _fwd(self, x, ranges=None):
+        """The one forward implementation: serving (``ranges=None``) and
+        calibration (``ranges`` dict, fp math + range taps) share it."""
+        b, h, w, _ = x.shape
+        feat = self.img_dim // self.patch_dim
+        y = self._embed(x)
+        for i in range(self.num_layers):
+            y = self._layer(i, y, ranges)
+        y = y.reshape(b, feat, feat, y.shape[-1]).astype(self.dtype)
+        logits = self._head(y)
+        if logits.shape[1:3] != (h, w):
+            logits = resize_bilinear(logits, (h, w), align_corners=False)
+        return logits
 
-        return forward
+    def _build_forward(self):
+        return lambda x: self._fwd(x)
 
     # ---- calibration -----------------------------------------------------
     def _forward_ranges(self, x):
-        """fp forward that also returns per-layer max-abs of the four
-        quantization points (block input, attention output, norm1 output,
-        GELU output)."""
-        ranges = {}
-        y = self._embed(x)
-        for i in range(self.num_layers):
-            d = self.layers[i]
-            dt = self.dtype
-            ranges[f"{i}.x"] = jnp.max(jnp.abs(y.astype(jnp.float32)))
-            qkv = jnp.einsum(
-                "bne,ef->bnf", y.astype(dt), d["in_w"].astype(dt),
-                preferred_element_type=jnp.float32,
-            ) + d["in_b"]
-            a = self._attention(qkv.astype(dt))
-            ranges[f"{i}.attn"] = jnp.max(jnp.abs(a.astype(jnp.float32)))
-            sa = _dense(a, d["out_w"], d["out_b"], dt)
-            y = _layernorm(y + sa, d["n1s"], d["n1b"])
-            ranges[f"{i}.ln1"] = jnp.max(jnp.abs(y.astype(jnp.float32)))
-            h = _dense(y, d["w1"], d["b1"], dt)
-            h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(h.dtype)
-            ranges[f"{i}.gelu"] = jnp.max(jnp.abs(h.astype(jnp.float32)))
-            h = _dense(h, d["w2"], d["b2"], dt)
-            y = _layernorm(y + h, d["n2s"], d["n2b"])
-        return ranges
+        """fp forward returning (logits, per-layer range statistics of the
+        four quantization points: block input, attention output, norm1
+        output, GELU output)."""
+        ranges: dict = {}
+        logits = self._fwd(x, ranges)
+        return logits, ranges
 
     def collect_act_scales(self, calib_batches: Iterable) -> dict:
-        """Max-abs static per-tensor scales over calibration batches
-        (normalized NHWC, same contract as __call__)."""
+        """Static per-tensor scales over calibration batches (normalized
+        NHWC, same contract as __call__): max-abs, or the ctor's
+        ``calib_percentile`` of |t|.  Captures the first batch + its fp
+        probs for quant.int8_self_check."""
         fn = jax.jit(self._forward_ranges)
         acc = {}
+        first = True
         for xb in calib_batches:
-            r = fn(jnp.asarray(xb))
+            logits, r = fn(jnp.asarray(xb))
+            if first:
+                self.calib_batch = jnp.asarray(xb)
+                self.calib_fp_probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+                first = False
             for k, v in r.items():
                 acc[k] = max(acc.get(k, 0.0), float(v))
         return {k: max(v, 1e-6) / 127.0 for k, v in acc.items()}

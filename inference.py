@@ -29,7 +29,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from dfc_sa_unet_tpu.config import load_config
+from dfc_sa_unet_tpu.config import load_config, merge_parallel_flags
 from dfc_sa_unet_tpu.infer.predictor import Predictor, load_image
 from dfc_sa_unet_tpu.metrics import metrics_from_counts
 from dfc_sa_unet_tpu.models.factory import ModelFactory
@@ -83,6 +83,11 @@ def main(args):
 
     from dfc_sa_unet_tpu.parallel import multihost as mh
 
+    config = load_config(_norm(args.config))
+    # optional inference: section — serving-side data_parallel /
+    # spatial_parallel / multihost / bf16 from YAML (CLI flags win)
+    merge_parallel_flags(args, config, sections=("inference",))
+
     if args.multihost or args.coordinator:
         # pod serving: every process drives its own chips over a strided
         # shard of the file list (no cross-host collectives); artifacts
@@ -91,7 +96,6 @@ def main(args):
     nproc, pid = jax.process_count(), jax.process_index()
     primary = pid == 0
 
-    config = load_config(_norm(args.config))
     img = config["dataset"].get("img_size", [224, 224])
     img_size = (img, img) if isinstance(img, int) else tuple(img)
 

@@ -71,3 +71,36 @@ def test_graft_dryrun_multichip_runs():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)  # asserts internally; raises on any regression
+
+
+def test_merge_parallel_flags_config_driven_and_cli_precedence():
+    """VERDICT r3 item 8: training.data_parallel/spatial_parallel/
+    multihost/bf16 honored from YAML; CLI flags keep precedence."""
+    import argparse
+
+    from dfc_sa_unet_tpu.config import merge_parallel_flags
+
+    def ns(**kw):
+        base = dict(data_parallel=False, spatial_parallel=1, multihost=False,
+                    bf16=False)
+        base.update(kw)
+        return argparse.Namespace(**base)
+
+    cfg = {"training": {"data_parallel": True, "spatial_parallel": 4,
+                        "multihost": True, "bf16": True}}
+    a = merge_parallel_flags(ns(), cfg, sections=("training",))
+    assert (a.data_parallel, a.spatial_parallel, a.multihost, a.bf16) == (True, 4, True, True)
+
+    # CLI wins: an explicit --spatial_parallel 2 is not overridden
+    a = merge_parallel_flags(ns(spatial_parallel=2), cfg, sections=("training",))
+    assert a.spatial_parallel == 2
+
+    # inference reads its own optional section only
+    icfg = {"training": {"data_parallel": True},
+            "inference": {"spatial_parallel": 8}}
+    a = merge_parallel_flags(ns(), icfg, sections=("inference",))
+    assert a.spatial_parallel == 8 and a.data_parallel is False
+
+    # absent keys leave defaults untouched
+    a = merge_parallel_flags(ns(), {"training": {}}, sections=("training",))
+    assert (a.data_parallel, a.spatial_parallel, a.multihost, a.bf16) == (False, 1, False, False)

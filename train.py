@@ -17,7 +17,7 @@ import os
 
 import jax
 
-from dfc_sa_unet_tpu.config import apply_overrides, load_config
+from dfc_sa_unet_tpu.config import apply_overrides, load_config, merge_parallel_flags
 from dfc_sa_unet_tpu.data.loader import DataLoaderFactory
 from dfc_sa_unet_tpu.models.factory import ModelFactory
 from dfc_sa_unet_tpu.train.trainer import Trainer
@@ -118,6 +118,9 @@ def main():
         config, args.loss, args.alpha, args.beta, args.weight_bce, args.weight_dice,
         args.bce_weight, args.dice_weight, args.contour_weight, args.augmentation,
     )
+    # training.data_parallel / spatial_parallel / multihost / bf16 from
+    # YAML (CLI flags win) — a config fully describes the run
+    merge_parallel_flags(args, config, sections=("training",))
 
     import jax.numpy as jnp
 

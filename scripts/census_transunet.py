@@ -210,11 +210,15 @@ def main():
         eng = Int8TransUNetEngine(cfg, variables, dtype=jnp.bfloat16,
                                   act_scales="timing", use_pallas=use_pallas)
         fn = jax.jit(eng._build_forward())
+        lowered = fn.lower(x)
     else:
-        fn = jax.jit(lambda x: model.apply(variables, x, train=False))
+        # variables must be an ARGUMENT: baked-in as constants the 105M
+        # params blow the tunnel's compile-request size limit (HTTP 413)
+        fn = jax.jit(lambda v, x: model.apply(v, x, train=False))
+        lowered = fn.lower(variables, x)
     print(f"device={jax.devices()[0]} batch={args.batch} variant={args.variant} "
           f"pallas={use_pallas}; compiling...", flush=True)
-    compiled = fn.lower(x).compile()
+    compiled = lowered.compile()
     ca = compiled.cost_analysis()
     if isinstance(ca, (list, tuple)):
         ca = ca[0] if ca else {}

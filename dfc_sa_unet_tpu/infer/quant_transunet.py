@@ -234,7 +234,7 @@ class Int8TransUNetEngine:
         else:
             qkv = jnp.einsum(
                 "bne,ef->bnf", y.astype(dt), d["in_w"].astype(dt),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32 if dt == jnp.float32 else None,
             ) + d["in_b"]
         a = self._attention(qkv.astype(dt))
         range_tap(ranges, f"{i}.attn", a, self.calib_percentile)

@@ -60,11 +60,13 @@ def _layernorm(x, scale, bias, eps=1e-5):
 
 
 def _dense(x, kernel, bias, dtype):
-    """nn/layers.py:Dense numerics: compute-dtype operands, f32
-    accumulate, f32 bias add, dtype out."""
+    """nn/layers.py:Dense numerics: compute-dtype operands, f32 MXU
+    accumulation, f32 bias add, dtype out.  Mirrors Dense's output-dtype
+    policy: bf16 mode emits bf16 from the dot (an f32 output doubles the
+    HBM write + epilogue read — round-4 census), f32 mode stays f32."""
     y = jnp.einsum(
         "...i,io->...o", x.astype(dtype), kernel.astype(dtype),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32 if dtype == jnp.float32 else None,
     )
     return (y + bias).astype(dtype)
 
@@ -235,7 +237,7 @@ class Int8ViTEngine:
             # model numerics (vit_seg.py:74-80): f32 accumulate + f32 bias
             qkv = jnp.einsum(
                 "bne,ef->bnf", x.astype(dt), d["in_w"].astype(dt),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32 if dt == jnp.float32 else None,
             ) + d["in_b"]
         a = self._attention(qkv.astype(dt))
         range_tap(ranges, f"{i}.attn", a, self.calib_percentile)

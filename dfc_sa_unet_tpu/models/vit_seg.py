@@ -74,7 +74,10 @@ class TorchMultiheadAttention(nn.Module):
         qkv = (
             jnp.einsum(
                 "bne,ef->bnf", x.astype(dtype), in_w.astype(dtype),
-                preferred_element_type=jnp.float32, precision=None if dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST,
+                # bf16 emits bf16 from the MXU (f32 output doubles the HBM
+                # write + epilogue read — round-4 census); f32 stays exact
+                preferred_element_type=jnp.float32 if dtype == jnp.float32 else None,
+                precision=None if dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST,
             )
             + in_b
         )

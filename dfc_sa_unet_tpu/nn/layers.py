@@ -354,8 +354,18 @@ class Dense(nn.Module):
             else None
         )
         dtype = self.dtype or x.dtype
+        # bf16 mode: do NOT request an f32 dot output.  The round-4
+        # TransUNet HLO census (scripts/census_transunet.py) showed every
+        # encoder linear materializing an f32 [B,196,3072]/[B,196,768]
+        # result to HBM (8.3 GB/forward at B=128) with a separate
+        # bias+cast pass re-reading it — the MXU accumulates f32
+        # internally either way; emitting bf16 halves the dot's write and
+        # the epilogue's read.  f32 mode keeps the f32 output + HIGHEST
+        # (exact torch parity); the f32 bias add below is unchanged in
+        # both modes (bf16 y + f32 bias promotes to f32 in registers).
         y = jnp.einsum(
-            "...i,io->...o", x.astype(dtype), kernel.astype(dtype), preferred_element_type=jnp.float32
+            "...i,io->...o", x.astype(dtype), kernel.astype(dtype),
+            preferred_element_type=_conv_preferred(dtype), precision=_prec(dtype),
         )
         if bias is not None:
             y = y + bias

@@ -171,7 +171,10 @@ def measure(model, dtype, use_pallas, batch, k, repeats,
         except Exception as e:  # noqa: BLE001 — cache is best-effort
             print(f"# exe_cache unavailable ({type(e).__name__}: {e}); plain jit",
                   file=sys.stderr)
+    t0 = time.monotonic()
     float(fn(variables, x))  # compile (or cached load) + first run
+    print(f"# {model}{' int8' if int8 else ''}: first call (compile or cached "
+          f"load + run) {time.monotonic() - t0:.0f}s", file=sys.stderr)
     dt = min(
         (lambda t0: (float(fn(variables, x)), time.perf_counter() - t0)[1])(time.perf_counter())
         for _ in range(repeats)

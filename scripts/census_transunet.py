@@ -129,52 +129,6 @@ def print_ideal(B):
     return tot_io, tot_fl
 
 
-_SHAPE = re.compile(r"(bf16|f32|f16|s32|s8|u8|pred|u32)\[([0-9,]*)\]")
-_BYTES = {"bf16": 2, "f16": 2, "f32": 4, "s32": 4, "s8": 1, "u8": 1, "pred": 1, "u32": 4}
-
-
-def shape_bytes(type_str):
-    tot = 0
-    for m in _SHAPE.finditer(type_str):
-        dims = [int(d) for d in m.group(2).split(",") if d]
-        n = 1
-        for d in dims:
-            n *= d
-        tot += n * _BYTES[m.group(1)]
-    return tot
-
-
-def census(txt):
-    """Attribute written bytes: fusions containing a conv/dot vs pure
-    elementwise fusions, plus standalone copies and convolutions/dots."""
-    # map computation name -> body text
-    comps = {}
-    for m in re.finditer(r"^%?([\w.\-]+) (?:\([^)]*\) -> [^{]+)?\{", txt, re.M):
-        start = m.end()
-        end = txt.find("\n}", start)
-        comps[m.group(1)] = txt[start:end]
-    cats = {"conv/dot fusions": [0, 0], "elementwise fusions": [0, 0],
-            "copies": [0, 0], "bare conv/dot": [0, 0], "other (reduce/sort/...)": [0, 0]}
-    for m in re.finditer(r"= ((?:\([^)]*\)|\S+)) fusion\([^\n]*calls=%?([\w.\-]+)", txt):
-        rb = shape_bytes(m.group(1))
-        body = comps.get(m.group(2), "")
-        key = ("conv/dot fusions" if ("convolution(" in body or " dot(" in body
-                                      or re.search(r"= \S+ dot\(", body))
-               else "elementwise fusions")
-        cats[key][0] += rb
-        cats[key][1] += 1
-    for m in re.finditer(r"= ((?:\([^)]*\)|\S+)) copy\(", txt):
-        cats["copies"][0] += shape_bytes(m.group(1))
-        cats["copies"][1] += 1
-    for m in re.finditer(r"= ((?:\([^)]*\)|\S+)) (?:convolution|dot)\(", txt):
-        cats["bare conv/dot"][0] += shape_bytes(m.group(1))
-        cats["bare conv/dot"][1] += 1
-    for m in re.finditer(r"= ((?:\([^)]*\)|\S+)) (reduce|sort|scatter|gather|transpose|reshape|concatenate)\(", txt):
-        cats["other (reduce/sort/...)"][0] += shape_bytes(m.group(1))
-        cats["other (reduce/sort/...)"][1] += 1
-    return cats
-
-
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=128)
@@ -189,6 +143,8 @@ def main():
     print_ideal(args.batch)
     if not args.compile:
         return
+
+    from _hlo_census import print_census
 
     import numpy as np
     import jax
@@ -231,9 +187,7 @@ def main():
     with open(args.out, "w") as f:
         f.write(txt)
     print(f"wrote {len(txt)} bytes to {args.out}")
-    print("written-bytes census (result shapes):")
-    for k, (b, c) in census(txt).items():
-        print(f"  {k:<24} {b/1e9:7.2f} GB written in {c:4d} instrs")
+    print_census(txt)
 
 
 if __name__ == "__main__":

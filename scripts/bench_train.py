@@ -26,17 +26,38 @@ from dfc_sa_unet_tpu.models.factory import create_model
 from dfc_sa_unet_tpu.train import optim
 
 
-def build_step(model, tx, loss_type, dtype, accum=1):
-    def loss_fn(params, stats, x, t):
+def build_step(model, tx, loss_type, dtype, accum=1, accum_exact=False):
+    def fwd(params, stats, x):
         out, mut = model.apply(
             {"params": params, "batch_stats": stats}, x, train=True,
             mutable=["batch_stats"], rngs={"dropout": jax.random.key(1)},
         )
-        probs = jax.nn.sigmoid(out.astype(jnp.float32))
-        return compute_loss(probs, t, loss_type, {}), mut.get("batch_stats", {})
+        return jax.nn.sigmoid(out.astype(jnp.float32)), mut.get("batch_stats", {})
+
+    def loss_fn(params, stats, x, t):
+        probs, new_stats = fwd(params, stats, x)
+        return compute_loss(probs, t, loss_type, {}), new_stats
 
     def step(params, batch_stats, opt_state, x, t):
-        if accum > 1:
+        if accum > 1 and accum_exact:
+            # mirror trainer.py grad_accum_exact: loss over the whole
+            # virtual batch, rematerialized forward scan
+            b = x.shape[0]
+            xm = x.reshape(accum, b // accum, *x.shape[1:])
+
+            def virtual_loss(params):
+                def body(stats, xi):
+                    probs_i, new_stats = fwd(params, stats, xi)
+                    return new_stats, probs_i
+
+                new_stats, probs_m = jax.lax.scan(
+                    jax.checkpoint(body), batch_stats, xm)
+                probs = probs_m.reshape(b, *probs_m.shape[2:])
+                return compute_loss(probs, t, loss_type, {}), new_stats
+
+            (loss, new_stats), grads = jax.value_and_grad(
+                virtual_loss, has_aux=True)(params)
+        elif accum > 1:
             b = x.shape[0]
             xm = x.reshape(accum, b // accum, *x.shape[1:])
             tm = t.reshape(accum, b // accum, *t.shape[1:])
@@ -71,6 +92,8 @@ def main():
     p.add_argument("--loss", type=str, default="bce_dice")
     p.add_argument("--accum", type=int, default=1,
                    help="gradient-accumulation microbatches per step")
+    p.add_argument("--accum_exact", action="store_true",
+                   help="exact virtual-batch loss (trainer grad_accum_exact mirror)")
     p.add_argument("--no_chain", action="store_true",
                    help="time python-side sequential steps instead of an outer lax.scan "
                         "(steps serialize through the param data dependency; use when the "
@@ -95,13 +118,14 @@ def main():
     model = create_model(cfg, dtype=None if args.fp32 else jnp.bfloat16,
                          use_pallas=args.use_pallas, remat=remat)
     tx = optim.sgd_with_clip(0.01, 0.9, 1e-4, clip_norm=1.0)
-    step = build_step(model, tx, args.loss, dtype, accum=args.accum)
+    step = build_step(model, tx, args.loss, dtype, accum=args.accum,
+                      accum_exact=args.accum_exact)
 
     s = args.size
     variables = model.init(jax.random.key(0), jnp.zeros((1, s, s, 3), dtype), train=False)
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
     opt_state = tx.init(params)
-    print(f"device={jax.devices()[0]} remat={args.remat} dtype={dtype.__name__} accum={args.accum}")
+    print(f"device={jax.devices()[0]} remat={args.remat} dtype={dtype.__name__} accum={args.accum} exact={args.accum_exact}")
 
     for b in [int(x) for x in args.batches.split(",")]:
         rng = np.random.default_rng(0)

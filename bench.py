@@ -32,11 +32,28 @@ runtimes where block_until_ready returns before device completion
 (observed on tunneled backends).
 
 Flags: --batch N, --fp32, --pallas, --k N, --model NAME, --int8,
---engine, --module, --zoo (per-family JSON lines + BENCH_ZOO.json),
---exe_cache DIR / --no_exe_cache, --budget S.
+--engine, --module, --zoo [fast|full] (per-family JSON lines +
+BENCH_ZOO.json; full adds the 8 ablation families + the p4/p16/p32
+pool sweep + the full-res fused-vs-lax A/B), --zoo_merge (fold this
+session's samples into an existing BENCH_ZOO.json so the artifact
+records cross-session spread), --warm (re-warm .exe_cache for the
+driver paths — the documented end-of-round step), --exe_cache DIR /
+--no_exe_cache, --budget S.
+
+Every record carries vs_baseline = value / 2000 (the unreachable
+north-star denominator) AND, for the censused families, vs_sol =
+value / the family's structural ceiling (PERF.md: flagship 1,181
+img/s speed-of-light table; TransUNet 1,737 round-4 census; ViT-seg
+2,661 matmul floor) — vs_sol is the number to defend across rounds.
+int8 rows share the bf16 denominator, so vs_sol > 1 is possible there
+(s8 raises the real ceiling).  Zoo rows also record per-repeat spread
+{median, min, max, n, n_sessions} because tunnel session drift is
+±6.5% (PERF.md round 4) — single points cannot be compared across
+sessions.
 """
 
 import argparse
+import hashlib
 import json
 import os
 import subprocess
@@ -49,19 +66,36 @@ import jax
 import jax.numpy as jnp
 
 BASELINE_IMG_PER_SEC = 2000.0
+# Structural (speed-of-light) ceilings per censused family, img/s at
+# B=128 bf16 — PERF.md round 3 ("speed-of-light floor": 108.4 ms ->
+# 1,181), round 4 TransUNet census (73.7 ms -> 1,737), round 3 ViT-seg
+# roofline (48.1 ms matmul floor -> 2,661).  Families without a census
+# (UNet, ablations, pool-sweep variants) get no vs_sol.
+SOL_CEILING_IMG_S = {
+    "DFC-SA-Res-Block": 1181.0,
+    "TransformerUNet": 1737.0,
+    "VisionTransformerSegmentation": 2661.0,
+}
 REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 DEFAULT_EXE_CACHE = os.path.join(REPO_ROOT, ".exe_cache")
+
+# bench.py is outside the package source fingerprint, but build_chained
+# bakes bench-local constants (seed-0 weights, timing act scales) into
+# the traced fn — hash this file into every cache salt so editing bench
+# can never serve a stale executable (ADVICE r4).
+with open(os.path.abspath(__file__), "rb") as _f:
+    BENCH_SRC_HASH = hashlib.sha1(_f.read()).hexdigest()[:10]
 
 
 def build_chained(
     model_name: str, dtype, use_pallas: bool, batch: int, k: int, size: int = 224,
-    engine: bool = False, int8: bool = False,
+    engine: bool = False, int8: bool = False, pool_size: int = 8,
 ):
     from dfc_sa_unet_tpu.models.factory import create_model
     from dfc_sa_unet_tpu.data.loader import normalize_on_device
 
     cfg = {"model": {"name": model_name, "in_channels": 3, "out_channels": 1,
-                     "features": [64, 128, 256, 512], "pool_size": 8},
+                     "features": [64, 128, 256, 512], "pool_size": pool_size},
            "dataset": {"img_size": [size, size]}}
     model = create_model(cfg, dtype=dtype, use_pallas=use_pallas)
     cdtype = dtype or jnp.float32
@@ -128,16 +162,18 @@ def build_chained(
     return chained, variables, x_u8
 
 
-def _metric_name(model, dtype, pallas=False, engine=False, int8=False):
-    return (f"{model} 224x224 inference images/sec/chip"
+def _metric_name(model, dtype, pallas=False, engine=False, int8=False,
+                 size=224, pool_size=8):
+    return (f"{model} {size}x{size} inference images/sec/chip"
+            + (f" (p{pool_size})" if pool_size != 8 else "")
             + (" (bf16)" if dtype is not None else " (f32)")
             + (" (pallas)" if pallas else "")
             + (" (engine)" if engine else "")
             + (" (int8-composed engine)" if int8 else ""))
 
 
-def _record(name, ips, batch):
-    return {
+def _record(name, ips, batch, model=None, samples=None):
+    rec = {
         "metric": name,
         # sub-1 img/s happens on CPU dry-runs — keep the value nonzero
         "value": round(ips, 1) if ips >= 1 else round(ips, 4),
@@ -146,27 +182,46 @@ def _record(name, ips, batch):
         "batch": batch,
         "device": str(jax.devices()[0]),
     }
+    ceiling = SOL_CEILING_IMG_S.get(model)
+    # pool-sweep variants have a different (uncensused) structural
+    # ceiling than the p8 flagship — no vs_sol for them
+    if ceiling and "(p" not in name:
+        rec["vs_sol"] = round(ips / ceiling, 4)
+    if samples:
+        s = sorted(samples)
+        rec["samples"] = [round(v, 1) for v in samples]
+        rec["median"] = round(s[len(s) // 2] if len(s) % 2 else
+                              0.5 * (s[len(s) // 2 - 1] + s[len(s) // 2]), 1)
+        rec["min"] = round(s[0], 1)
+        rec["max"] = round(s[-1], 1)
+        rec["n"] = len(s)
+        rec["n_sessions"] = 1
+    return rec
 
 
 def measure(model, dtype, use_pallas, batch, k, repeats,
-            engine=False, int8=False, exe_cache=None):
+            engine=False, int8=False, exe_cache=None, size=224, pool_size=8):
     """Build + (cache-)compile + time one path.  Returns a record dict.
 
     Raises on any failure (build, compile, first run) — callers decide
     fallback policy.
     """
-    fn, variables, x = build_chained(model, dtype, use_pallas, batch, k,
-                                     engine=engine, int8=int8)
+    fn, variables, x = build_chained(model, dtype, use_pallas, batch, k, size=size,
+                                     engine=engine, int8=int8, pool_size=pool_size)
     if exe_cache:
         try:
             from dfc_sa_unet_tpu.utils.exe_cache import cached_compile
 
             # engine/int8 weights are baked into the executable, but in
             # bench they are a deterministic function of (source, seed 0,
-            # model config) and source is already in the key — the salt
-            # only needs to separate the paths/shapes-invisible knobs.
-            salt = (f"bench|{model}|{np.dtype(dtype).name if dtype else 'f32'}"
-                    f"|pallas={use_pallas}|engine={engine}|int8={int8}|k={k}")
+            # model config); package source is in the key and
+            # BENCH_SRC_HASH covers this file's own constants — the salt
+            # otherwise separates the shapes-invisible knobs.
+            salt = (f"bench|{BENCH_SRC_HASH}|{model}"
+                    f"|{np.dtype(dtype).name if dtype else 'f32'}"
+                    f"|pallas={use_pallas}|engine={engine}|int8={int8}|k={k}"
+                    + (f"|size={size}" if size != 224 else "")
+                    + (f"|pool={pool_size}" if pool_size != 8 else ""))
             fn = cached_compile(fn, exe_cache, "bench", variables, x, salt=salt)
         except Exception as e:  # noqa: BLE001 — cache is best-effort
             print(f"# exe_cache unavailable ({type(e).__name__}: {e}); plain jit",
@@ -175,14 +230,18 @@ def measure(model, dtype, use_pallas, batch, k, repeats,
     float(fn(variables, x))  # compile (or cached load) + first run
     print(f"# {model}{' int8' if int8 else ''}: first call (compile or cached "
           f"load + run) {time.monotonic() - t0:.0f}s", file=sys.stderr)
-    dt = min(
-        (lambda t0: (float(fn(variables, x)), time.perf_counter() - t0)[1])(time.perf_counter())
-        for _ in range(repeats)
-    ) / k
-    ips = batch / dt
+    dts = []
+    for _ in range(repeats):
+        t1 = time.perf_counter()
+        float(fn(variables, x))
+        dts.append((time.perf_counter() - t1) / k)
+    ips_samples = [batch / dt for dt in dts]
+    ips = max(ips_samples)
     print(f"# {model}{' int8' if int8 else ''}: batch {batch}: "
-          f"{dt * 1e3:.2f} ms/step -> {ips:.1f} img/s", file=sys.stderr)
-    return _record(_metric_name(model, dtype, use_pallas, engine, int8), ips, batch)
+          f"{min(dts) * 1e3:.2f} ms/step -> {ips:.1f} img/s", file=sys.stderr)
+    return _record(_metric_name(model, dtype, use_pallas, engine, int8,
+                                size=size, pool_size=pool_size),
+                   ips, batch, model=model, samples=ips_samples)
 
 
 def _run_int8_subprocess(batch, k, repeats, timeout_s, exe_cache):
@@ -222,17 +281,62 @@ def _run_int8_subprocess(batch, k, repeats, timeout_s, exe_cache):
 
 # --zoo: one JSON line per family (machine-readable regression tracking
 # for the transformer-zoo results that previously lived only in PERF.md).
-# (model, dtype-is-bf16, use_pallas, int8) — pallas'd bf16 is the serving
-# default for the transformer families (PERF.md round 3).
-ZOO_PATHS = [
-    ("DFC-SA-Res-Block", False, False),
-    ("DFC-SA-Res-Block", False, True),
-    ("UNet", False, False),
-    ("VisionTransformerSegmentation", True, False),
-    ("VisionTransformerSegmentation", True, True),
-    ("TransformerUNet", True, False),
-    ("TransformerUNet", True, True),
+# Rows are dicts of measure() kwargs over a bf16 base (bf16 is the
+# serving default; pallas'd bf16 for the transformer families, PERF.md
+# round 3).  The fast tier is the round-4 set; the full tier (VERDICT
+# r4 item 3) adds the 8 ablation families, the p4/p16/p32 pool sweep,
+# and the full-res fused-vs-lax A/B.  UNet_FullResAttention runs at
+# 64x64: its level-1 attention is N=(H*W)^2 — at 224 the energy tensor
+# alone is 10 GB/sample, unrunnable on ANY hardware (the reference
+# ships a 224 config it could never have run); 64 is the largest size
+# whose N=4096 tokens the fused kernel can hold in VMEM, which is
+# exactly the A/B the kernel was built for.
+ZOO_FAST = [
+    dict(model="DFC-SA-Res-Block"),
+    dict(model="DFC-SA-Res-Block", int8=True),
+    dict(model="UNet"),
+    dict(model="VisionTransformerSegmentation", pallas=True),
+    dict(model="VisionTransformerSegmentation", pallas=True, int8=True),
+    dict(model="TransformerUNet", pallas=True),
+    dict(model="TransformerUNet", pallas=True, int8=True),
 ]
+ZOO_FULL_EXTRA = [
+    dict(model="UNet_Baseline"),
+    dict(model="UNet_AttentionOnly"),
+    dict(model="UNet_AdditionFusion"),
+    dict(model="UNet_ConcatFusion"),
+    dict(model="UNet_EncoderOnlyDFC"),
+    dict(model="UNet_DecoderOnlyDFC"),
+    dict(model="UNet_BothStandardConv"),
+    dict(model="DFC-SA-Res-Block", pool_size=4),
+    dict(model="DFC-SA-Res-Block", pool_size=16),
+    dict(model="DFC-SA-Res-Block", pool_size=32),
+    dict(model="UNet_FullResAttention", size=64),
+    dict(model="UNet_FullResAttention", size=64, pallas=True),
+]
+
+
+def _merge_zoo_records(old_records, new_records):
+    """Fold a new session's samples into existing records (matched by
+    metric name): spread spans sessions, value stays the best seen."""
+    by_metric = {r["metric"]: dict(r) for r in old_records}
+    merged = []
+    for rec in new_records:
+        old = by_metric.pop(rec["metric"], None)
+        if old is None or "samples" not in rec or "samples" not in old:
+            merged.append(rec)
+            continue
+        samples = [float(v) for v in old["samples"]] + [float(v) for v in rec["samples"]]
+        best = max(float(old["value"]), float(rec["value"]))
+        out = _record(rec["metric"], best, rec["batch"], samples=samples)
+        src = rec if rec.get("vs_sol") else old
+        if src.get("vs_sol"):  # recompute against the same ceiling
+            out["vs_sol"] = round(best * float(src["vs_sol"]) / float(src["value"]), 4)
+        out["n_sessions"] = old.get("n_sessions", 1) + rec.get("n_sessions", 1)
+        out["device"] = rec["device"]
+        merged.append(out)
+    merged.extend(by_metric.values())  # rows not re-measured this session
+    return merged
 
 
 def run_zoo(args, exe_cache):
@@ -240,24 +344,36 @@ def run_zoo(args, exe_cache):
     write the array to BENCH_ZOO.json.  The LAST line printed is the
     flagship headline (best of its module/int8 rows) so a --zoo run still
     satisfies the driver's last-line contract."""
+    rows = list(ZOO_FAST) + (list(ZOO_FULL_EXTRA) if args.zoo == "full" else [])
     records = []
-    for model, pallas, int8 in ZOO_PATHS:
+    for row in rows:
         try:
-            rec = measure(model, jnp.bfloat16, pallas, args.batch or 128,
-                          args.k, args.repeats, int8=int8, exe_cache=exe_cache)
+            rec = measure(row["model"], jnp.bfloat16, row.get("pallas", False),
+                          args.batch or 128, args.k, args.repeats,
+                          int8=row.get("int8", False), exe_cache=exe_cache,
+                          size=row.get("size", 224),
+                          pool_size=row.get("pool_size", 8))
         except Exception as e:  # noqa: BLE001
-            print(f"# zoo: {model}{' int8' if int8 else ''} failed: "
+            print(f"# zoo: {row} failed: "
                   f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
             continue
         records.append(rec)
         print(json.dumps(rec), flush=True)
+    if args.zoo_merge and os.path.exists(args.zoo_out):
+        try:
+            with open(args.zoo_out) as f:
+                records = _merge_zoo_records(json.load(f), records)
+            print(f"# zoo: merged with prior sessions in {args.zoo_out}", file=sys.stderr)
+        except (OSError, ValueError) as e:
+            print(f"# zoo: merge failed ({e}); writing this session only", file=sys.stderr)
     try:
         with open(args.zoo_out, "w") as f:
             json.dump(records, f, indent=1)
         print(f"# zoo: wrote {len(records)} records to {args.zoo_out}", file=sys.stderr)
     except OSError as e:
         print(f"# zoo: could not write {args.zoo_out}: {e}", file=sys.stderr)
-    flagship = [r for r in records if r["metric"].startswith("DFC-SA-Res-Block")]
+    flagship = [r for r in records if r["metric"].startswith("DFC-SA-Res-Block")
+                and "(p" not in r["metric"]]
     if flagship:
         print(json.dumps(max(flagship, key=lambda r: r["value"])), flush=True)
 
@@ -275,8 +391,20 @@ def main():
                         "(DFC-SA / ViT-seg / TransUNet)")
     p.add_argument("--module", action="store_true",
                    help="force the plain module path (no serving engine)")
-    p.add_argument("--zoo", action="store_true",
-                   help="benchmark every model family; one JSON line each + BENCH_ZOO.json")
+    p.add_argument("--zoo", nargs="?", const="fast", default=None,
+                   choices=["fast", "full"],
+                   help="benchmark the model families (one JSON line each + "
+                        "BENCH_ZOO.json): 'fast' = the 4 headline families "
+                        "(default), 'full' adds the 8 ablations, the "
+                        "p4/p16/p32 pool sweep and the full-res fused A/B")
+    p.add_argument("--zoo_merge", action="store_true",
+                   help="fold this session's zoo samples into an existing "
+                        "BENCH_ZOO.json (cross-session spread; n_sessions += 1)")
+    p.add_argument("--warm", action="store_true",
+                   help="re-warm .exe_cache for the driver's bench paths "
+                        "(module bf16 + int8 at B=128) and exit — run after "
+                        "ANY edit under dfc_sa_unet_tpu/ or bench.py so the "
+                        "driver's timed run lands warm (VERDICT r4 item 4)")
     p.add_argument("--zoo_out", default=os.path.join(REPO_ROOT, "BENCH_ZOO.json"))
     p.add_argument("--k", type=int, default=8, help="chained steps per timing call")
     p.add_argument("--repeats", type=int, default=3)
@@ -297,7 +425,30 @@ def main():
     batch = args.batch or 128
 
     if args.zoo:
+        # --zoo pins its own per-row model/dtype/pallas/int8 choices; a
+        # combined flag would be silently ignored — reject it instead
+        conflicting = [f for f, v in (("--fp32", args.fp32), ("--pallas", args.pallas),
+                                      ("--int8", args.int8), ("--engine", args.engine),
+                                      ("--module", args.module),
+                                      ("--model", args.model != "DFC-SA-Res-Block"))
+                       if v]
+        if conflicting:
+            p.error(f"--zoo measures a fixed per-row matrix; drop {conflicting} "
+                    "(use the single-path flags without --zoo for one config)")
         run_zoo(args, exe_cache)
+        return
+
+    if args.warm:
+        # end-of-round cache re-warm: compile (or refresh) exactly the
+        # executables the driver's default staged run will load, with no
+        # budget gating — then confirm the entries exist.
+        for kwargs in (dict(), dict(int8=True)):
+            rec = measure(args.model, dtype, False, batch, args.k, args.repeats,
+                          exe_cache=exe_cache, **kwargs)
+            print(json.dumps(rec), flush=True)
+        if exe_cache and os.path.isdir(exe_cache):
+            entries = [f for f in os.listdir(exe_cache) if f.startswith("bench")]
+            print(f"# warm: {len(entries)} bench entries in {exe_cache}", file=sys.stderr)
         return
 
     explicit = (args.int8 or args.engine or args.module or args.fp32

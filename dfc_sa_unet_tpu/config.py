@@ -32,8 +32,12 @@ def merge_parallel_flags(args, config: Dict[str, Any], sections=("training",)):
     from the YAML so a config fully describes a run, the way the
     reference's configs do.  ``sections`` is searched in order (train.py
     reads ``training:``, inference.py reads the optional ``inference:``
-    section).  CLI flags keep precedence: a flag the user set on the
-    command line is never overridden, config values only fill defaults.
+    section).  CLI flags keep precedence both ways: the parsers leave
+    these flags ``None`` when not given, so ``--data_parallel`` /
+    ``--no_data_parallel`` (and an explicit ``--spatial_parallel 1``)
+    each override the config, and config values only fill unset flags
+    (ADVICE r4: store_true defaults were indistinguishable from unset,
+    so a config-enabled feature could not be disabled from the CLI).
     Mutates and returns ``args``.
     """
     def get(key, default):
@@ -43,12 +47,16 @@ def merge_parallel_flags(args, config: Dict[str, Any], sections=("training",)):
                 return v
         return default
 
-    args.data_parallel = bool(args.data_parallel or get("data_parallel", False))
-    if getattr(args, "spatial_parallel", 1) in (1, None):
+    def tri(flag_val, key):
+        # None = flag not given -> config fills; True/False = CLI wins
+        return bool(get(key, False)) if flag_val is None else bool(flag_val)
+
+    args.data_parallel = tri(getattr(args, "data_parallel", None), "data_parallel")
+    if getattr(args, "spatial_parallel", None) is None:
         args.spatial_parallel = int(get("spatial_parallel", 1) or 1)
-    args.multihost = bool(args.multihost or get("multihost", False))
+    args.multihost = tri(getattr(args, "multihost", None), "multihost")
     if hasattr(args, "bf16"):
-        args.bf16 = bool(args.bf16 or get("bf16", False))
+        args.bf16 = tri(args.bf16, "bf16")
     return args
 
 

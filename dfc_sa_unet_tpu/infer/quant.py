@@ -121,8 +121,12 @@ def int8_self_check(engine, gate_flip: float = 5e-3, strict: bool = False,
     shipped test models.  Returns ``{"flip_rate", "mean_abs_dprob"}``
     (or None when the engine was built without calibration, e.g. preset
     or "timing" scales).  ``flip_rate`` is the fraction of pixels whose
-    0.5-thresholded mask flips; above ``gate_flip`` a warning prints, or
-    RuntimeError is raised under ``strict``.
+    predicted mask flips — 0.5-thresholded for a single-channel
+    (sigmoid) head, argmax disagreement for a multi-channel head
+    (sigmoid is monotonic, so argmax over the stored per-channel
+    sigmoids equals argmax over logits; a per-channel 0.5 threshold
+    would mis-gate softmax semantics — ADVICE r4).  Above ``gate_flip``
+    a warning prints, or RuntimeError is raised under ``strict``.
 
     Note: on the tunneled TPU backend this compiles one extra executable
     (the engine forward at the calibration batch shape).
@@ -131,7 +135,11 @@ def int8_self_check(engine, gate_flip: float = 5e-3, strict: bool = False,
         return None
     q = jax.nn.sigmoid(engine._forward(engine.calib_batch).astype(jnp.float32))
     fp = engine.calib_fp_probs
-    flip = float(jnp.mean(((q > 0.5) != (fp > 0.5)).astype(jnp.float32)))
+    if q.ndim >= 1 and q.shape[-1] > 1:
+        flip = float(jnp.mean((jnp.argmax(q, axis=-1)
+                               != jnp.argmax(fp, axis=-1)).astype(jnp.float32)))
+    else:
+        flip = float(jnp.mean(((q > 0.5) != (fp > 0.5)).astype(jnp.float32)))
     mad = float(jnp.mean(jnp.abs(q - fp)))
     metrics = {"flip_rate": flip, "mean_abs_dprob": mad}
     if flip > gate_flip:

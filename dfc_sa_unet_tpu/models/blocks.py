@@ -48,7 +48,14 @@ class LightSelfAttention(nn.Module):
         k = Conv(c // self.qk_div, 1, name="key_conv", dtype=self.dtype)(pooled)
         v = Conv(c, 1, name="value_conv", dtype=self.dtype)(pooled)
         gamma = self.param("gamma", nn.initializers.zeros, (1,), jnp.float32)
-        if self.use_pallas and self.pool_size is not None:
+        # The fused kernel also serves the full-resolution ablation
+        # (reference models/unet_dfc_sa_ablation_attention.py:15-26) when
+        # one element's N=H*W-token attention fits VMEM (N<=4096 keeps the
+        # f32 NxN energy <=67 MB inside the kernel's 128 MB budget) — the
+        # kernel's whole point is keeping NxN out of HBM, which matters
+        # most exactly here.  Larger full-res shapes fall back to lax.
+        n_tokens = pooled.shape[1] * pooled.shape[2]
+        if self.use_pallas and n_tokens <= 4096:
             from dfc_sa_unet_tpu.ops.pallas_attention import fused_pooled_attention
 
             out = fused_pooled_attention(q, k, v)

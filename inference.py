@@ -482,7 +482,9 @@ if __name__ == "__main__":
     parser.add_argument("--resize", nargs=2, type=int, metavar=("WIDTH", "HEIGHT"))
     parser.add_argument("--no_slide_window", action="store_true")
     parser.add_argument("--tta", action="store_true")
-    parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--bf16", action="store_true", default=None)
+    parser.add_argument("--no_bf16", action="store_false", dest="bf16",
+                        help="override a config-enabled inference.bf16")
     parser.add_argument("--no_pallas", action="store_true",
                         help="disable the fused Pallas MHA that bf16 serving "
                              "enables by default for the transformer families")
@@ -513,10 +515,12 @@ if __name__ == "__main__":
                         help="tile batch; 128/256 are ~2x faster than 32-96 on TPU (XLA conv-layout cliff, PERF.md)")
     parser.add_argument("--serial", action="store_true",
                         help="disable decode/compute/save pipelining (A/B timing)")
-    parser.add_argument("--data_parallel", action="store_true",
+    parser.add_argument("--data_parallel", action="store_true", default=None,
                         help="shard prediction batches over all visible devices "
                              "(1-D 'data' mesh; exact-match with single-chip)")
-    parser.add_argument("--spatial_parallel", type=int, default=1,
+    parser.add_argument("--no_data_parallel", action="store_false", dest="data_parallel",
+                        help="override a config-enabled inference.data_parallel")
+    parser.add_argument("--spatial_parallel", type=int, default=None,
                         help="additionally shard image ROWS over this many devices "
                              "(2-D data x spatial mesh) — serves one large image "
                              "exactly across chips (no sliding-window seams; XLA "
@@ -524,13 +528,15 @@ if __name__ == "__main__":
                              "--no_slide_window on images whose activations "
                              "exceed one chip's HBM. Height must be divisible "
                              "by this factor (else batch-only sharding)")
-    parser.add_argument("--multihost", action="store_true",
+    parser.add_argument("--multihost", action="store_true", default=None,
                         help="join a multi-process (TPU pod) cluster via "
                              "jax.distributed: each process serves a strided "
                              "shard of the file list on its own chips "
                              "(optionally with a LOCAL --data_parallel/"
                              "--spatial_parallel mesh); the output dir must "
                              "be shared — the primary merges the eval CSVs")
+    parser.add_argument("--no_multihost", action="store_false", dest="multihost",
+                        help="override a config-enabled inference.multihost")
     parser.add_argument("--coordinator", type=str, default=None,
                         help="coordinator host:port for explicit clusters")
     parser.add_argument("--num_processes", type=int, default=None)

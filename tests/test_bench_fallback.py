@@ -33,7 +33,8 @@ def _tiny_build(int8_behavior):
     """build_chained stub: module path works; int8 path misbehaves per
     `int8_behavior` ('build' raises at build time, 'run' at first call)."""
 
-    def build(model_name, dtype, use_pallas, batch, k, size=224, engine=False, int8=False):
+    def build(model_name, dtype, use_pallas, batch, k, size=224, engine=False, int8=False,
+              pool_size=8):
         if int8 and int8_behavior == "build":
             raise RuntimeError("synthetic build failure")
 
@@ -145,13 +146,13 @@ def test_zoo_emits_per_family_lines_and_artifact(monkeypatch, capsys, tmp_path):
     bench.main()
     recs = _records(capsys.readouterr().out)
     # one line per ZOO_PATHS row + the repeated flagship headline
-    assert len(recs) == len(bench.ZOO_PATHS) + 1
+    assert len(recs) == len(bench.ZOO_FAST) + 1
     assert recs[-1]["metric"].startswith("DFC-SA-Res-Block")
     names = {r["metric"] for r in recs[:-1]}
     assert any("VisionTransformerSegmentation" in n and "int8" in n for n in names)
     assert any("TransformerUNet" in n and "int8" not in n for n in names)
     saved = json.loads(out.read_text())
-    assert len(saved) == len(bench.ZOO_PATHS)
+    assert len(saved) == len(bench.ZOO_FAST)
 
 
 def test_zoo_family_failure_is_skipped_not_fatal(monkeypatch, capsys, tmp_path):
@@ -167,5 +168,73 @@ def test_zoo_family_failure_is_skipped_not_fatal(monkeypatch, capsys, tmp_path):
     monkeypatch.setattr(sys, "argv", BASE_ARGV + ["--zoo", "--zoo_out", str(out)])
     bench.main()
     recs = _records(capsys.readouterr().out)
-    assert len(recs) == len(bench.ZOO_PATHS)  # one family dropped, +1 headline
+    assert len(recs) == len(bench.ZOO_FAST)  # one family dropped, +1 headline
     assert recs[-1]["metric"].startswith("DFC-SA-Res-Block")
+
+
+def test_zoo_full_tier_adds_ablations_and_pool_sweep(monkeypatch, capsys, tmp_path):
+    monkeypatch.setattr(bench, "build_chained", _tiny_build("none"))
+    out = tmp_path / "BENCH_ZOO.json"
+    monkeypatch.setattr(sys, "argv", BASE_ARGV + ["--zoo", "full", "--zoo_out", str(out)])
+    bench.main()
+    recs = _records(capsys.readouterr().out)
+    assert len(recs) == len(bench.ZOO_FAST) + len(bench.ZOO_FULL_EXTRA) + 1
+    names = {r["metric"] for r in recs}
+    assert any("UNet_BothStandardConv" in n for n in names)
+    assert any("(p32)" in n for n in names)
+    # full-res A/B: lax + pallas rows at 64x64
+    fr = [n for n in names if "UNet_FullResAttention 64x64" in n]
+    assert len(fr) == 2 and any("(pallas)" in n for n in fr)
+    # the flagship headline excludes pool-sweep rows
+    assert recs[-1]["metric"].startswith("DFC-SA-Res-Block") and "(p" not in recs[-1]["metric"]
+
+
+def test_zoo_rejects_conflicting_single_path_flags(monkeypatch, capsys):
+    monkeypatch.setattr(bench, "build_chained", _tiny_build("none"))
+    monkeypatch.setattr(sys, "argv", BASE_ARGV + ["--zoo", "--fp32"])
+    with pytest.raises(SystemExit):
+        bench.main()
+
+
+def test_records_carry_spread_and_vs_sol(monkeypatch, capsys):
+    monkeypatch.setattr(bench, "build_chained", _tiny_build("none"))
+    monkeypatch.setattr(sys, "argv", BASE_ARGV + ["--repeats", "3", "--module"])
+    bench.main()
+    rec = _records(capsys.readouterr().out)[-1]
+    assert rec["n"] == 3 and len(rec["samples"]) == 3
+    assert rec["min"] <= rec["median"] <= rec["max"]
+    assert rec["n_sessions"] == 1
+    # flagship is censused -> vs_sol against the 1,181 img/s ceiling
+    assert rec["vs_sol"] == round(rec["value"] / 1181.0, 4)
+
+
+def test_zoo_merge_accumulates_sessions(monkeypatch, capsys, tmp_path):
+    monkeypatch.setattr(bench, "build_chained", _tiny_build("none"))
+    out = tmp_path / "BENCH_ZOO.json"
+    monkeypatch.setattr(sys, "argv", BASE_ARGV + ["--zoo", "--zoo_out", str(out)])
+    bench.main()
+    capsys.readouterr()
+    first = json.loads(out.read_text())
+    monkeypatch.setattr(sys, "argv",
+                        BASE_ARGV + ["--zoo", "--zoo_merge", "--zoo_out", str(out)])
+    bench.main()
+    capsys.readouterr()
+    merged = json.loads(out.read_text())
+    assert len(merged) == len(first)
+    for rec in merged:
+        assert rec["n_sessions"] == 2
+        assert rec["n"] == 2 * first[0]["n"]
+        assert rec["min"] <= rec["median"] <= rec["max"]
+    # vs_sol recomputed against the merged best for censused families
+    flag = [r for r in merged if r["metric"].startswith("DFC-SA-Res-Block")
+            and "int8" not in r["metric"]][0]
+    assert flag["vs_sol"] == round(flag["value"] / 1181.0, 4)
+
+
+def test_warm_mode_runs_module_and_int8_unbudgeted(monkeypatch, capsys):
+    monkeypatch.setattr(bench, "build_chained", _tiny_build("none"))
+    monkeypatch.setattr(sys, "argv", BASE_ARGV + ["--warm", "--budget", "0"])
+    bench.main()
+    recs = _records(capsys.readouterr().out)
+    assert len(recs) == 2
+    assert "int8" not in recs[0]["metric"] and "int8" in recs[1]["metric"]

@@ -35,6 +35,37 @@ def test_model_with_pallas_flag_matches():
     np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_lax), atol=1e-4, rtol=1e-3)
 
 
+def test_full_res_model_with_pallas_flag_matches():
+    """UNet_FullResAttention(use_pallas=True): the fused kernel now also
+    serves the full-resolution ablation when N=H*W <= 4096 fits VMEM
+    (reference models/unet_dfc_sa_ablation_attention.py:15-26) — the
+    N*N-stays-in-VMEM property matters most on this model."""
+    import jax
+    from dfc_sa_unet_tpu.models.factory import create_model
+
+    cfg = {"model": {"name": "UNet_FullResAttention",
+                     "features": [8, 16, 24, 32], "pool_size": 4}}
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((1, 32, 32, 3)), jnp.float32)
+    m_lax = create_model(cfg)
+    variables = m_lax.init(jax.random.key(0), x, train=False)
+    m_pl = create_model(cfg, use_pallas=True)
+    y_lax = m_lax.apply(variables, x, train=False)
+    y_pl = m_pl.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_lax), atol=1e-4, rtol=1e-3)
+
+
+def test_fused_full_res_core_matches_lax_at_n4096_shape():
+    """Non-square token grid + the largest supported N-path shape family
+    (full-res level-1 style): fused == lax through the same wrapper."""
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.standard_normal((1, 16, 8, 4)), jnp.float32)  # N=128
+    k = jnp.asarray(rng.standard_normal((1, 16, 8, 4)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 16, 8, 32)), jnp.float32)
+    got = np.asarray(fused_pooled_attention(q, k, v))
+    want = np.asarray(pooled_self_attention(q, k, v))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
 def test_fused_attention_is_differentiable():
     """The Pallas kernel carries a custom VJP (lax-math backward), so
     use_pallas=True models are trainable."""

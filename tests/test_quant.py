@@ -267,6 +267,38 @@ def test_self_check_flags_broken_scales(trained, capsys):
         int8_self_check(broken(), strict=True)
 
 
+def test_self_check_multichannel_uses_argmax():
+    """A multi-channel (softmax-semantics) head is gated on argmax
+    disagreement, not per-channel 0.5 thresholds (ADVICE r4): a uniform
+    logit shift flips every per-channel threshold but no argmax."""
+    from dfc_sa_unet_tpu.infer.quant import int8_self_check
+
+    class FakeEngine:
+        def __init__(self, logits_fp, logits_q):
+            self.calib_batch = jnp.zeros((1,))
+            self.calib_fp_probs = jax.nn.sigmoid(jnp.asarray(logits_fp, jnp.float32))
+            self._q = jnp.asarray(logits_q, jnp.float32)
+
+        def _forward(self, x):
+            return self._q
+
+    rng = np.random.default_rng(3)
+    fp = rng.normal(size=(2, 4, 4, 3)).astype(np.float32)
+    # shift every logit by -10: every sigmoid crosses 0.5 (old metric
+    # would read flip_rate 1.0) but the argmax class never changes
+    eng = FakeEngine(fp, fp - 10.0)
+    chk = int8_self_check(eng, strict=True)
+    assert chk["flip_rate"] == 0.0
+    # a real class swap is caught
+    swapped = fp[..., ::-1].copy()
+    chk = int8_self_check(FakeEngine(fp, swapped))
+    assert chk["flip_rate"] > 0.5
+    # single-channel path unchanged: the same -10 shift IS a mask flip
+    fp1 = rng.normal(size=(2, 4, 4, 1)).astype(np.float32)
+    chk = int8_self_check(FakeEngine(fp1, fp1 - 10.0))
+    assert chk["flip_rate"] > 0.5
+
+
 def test_self_check_none_without_calibration(setup):
     """Engines built from preset scales have no calibration reference —
     the self-check reports None rather than guessing."""

@@ -39,7 +39,10 @@ def main():
         "--augmentation", type=lambda x: str(x).lower() == "true", default=None,
         help="Enable/disable data augmentation (true/false)",
     )
-    parser.add_argument("--bf16", action="store_true", help="bfloat16 compute (f32 master params)")
+    parser.add_argument("--bf16", action="store_true", default=None,
+                        help="bfloat16 compute (f32 master params)")
+    parser.add_argument("--no_bf16", action="store_false", dest="bf16",
+                        help="override a config-enabled training.bf16")
     parser.add_argument(
         "--remat", nargs="?", const="all", default=None, choices=["all", "l12"],
         help="rematerialize blocks in the backward pass for larger batches: "
@@ -48,8 +51,11 @@ def main():
              "Transformer families treat any mode as 'all' (every encoder "
              "block / ResNet unit / decoder block)",
     )
-    parser.add_argument("--data_parallel", action="store_true", help="Shard batches over all devices")
-    parser.add_argument("--spatial_parallel", type=int, default=1,
+    parser.add_argument("--data_parallel", action="store_true", default=None,
+                        help="Shard batches over all devices")
+    parser.add_argument("--no_data_parallel", action="store_false", dest="data_parallel",
+                        help="override a config-enabled training.data_parallel")
+    parser.add_argument("--spatial_parallel", type=int, default=None,
                         help="additionally shard image ROWS over this many devices "
                              "(2-D data x spatial mesh) — trains crops whose "
                              "activations exceed one chip's HBM, exactly (XLA "
@@ -65,12 +71,14 @@ def main():
                              "the float-noise floor — docs/validation/)")
     parser.add_argument("--no_pallas", action="store_true",
                         help="disable the bf16 TransUNet fused-MHA training default")
-    parser.add_argument("--multihost", action="store_true",
+    parser.add_argument("--multihost", action="store_true", default=None,
                         help="join a multi-process (TPU pod) cluster via "
                              "jax.distributed — each process drives its own "
                              "chips and loads its own shard of every batch; "
                              "auto-detects the cluster on Cloud TPU (or pass "
                              "--coordinator/--num_processes/--process_id)")
+    parser.add_argument("--no_multihost", action="store_false", dest="multihost",
+                        help="override a config-enabled training.multihost")
     parser.add_argument("--coordinator", type=str, default=None,
                         help="coordinator host:port for explicit clusters")
     parser.add_argument("--num_processes", type=int, default=None)

@@ -87,6 +87,7 @@ class Int8TransUNetEngine:
         use_pallas: bool = True,
         vit_config: Optional[Mapping[str, Any]] = None,
         calib_percentile: Optional[float] = None,
+        holdout_batch=None,
     ):
         m = config["model"]
         if m.get("name") not in ("TransformerUNet", "TransUNet"):
@@ -97,6 +98,11 @@ class Int8TransUNetEngine:
         self.calib_percentile = calib_percentile
         self.calib_batch = None
         self.calib_fp_probs = None
+        # held-out batch for int8_self_check (VERDICT r4 item 7): its fp
+        # probs are captured during calibration with the same compiled
+        # fp forward
+        self.holdout_batch = None if holdout_batch is None else jnp.asarray(holdout_batch)
+        self.holdout_fp_probs = None
 
         img_size_cfg = config.get("dataset", {}).get("img_size", [224, 224])
         self.img_size = (img_size_cfg[0] if isinstance(img_size_cfg, (list, tuple))
@@ -307,6 +313,10 @@ class Int8TransUNetEngine:
                 first = False
             for k, v in r.items():
                 acc[k] = max(acc.get(k, 0.0), float(v))
+        if self.holdout_batch is not None:
+            # same jitted fp forward, same shape -> no extra compile
+            logits, _ = fn(self.holdout_batch)
+            self.holdout_fp_probs = jax.nn.sigmoid(logits.astype(jnp.float32))
         return {k: max(v, 1e-6) / 127.0 for k, v in acc.items()}
 
     def __call__(self, x):

@@ -101,6 +101,7 @@ class Int8ViTEngine:
         calib_batches: Optional[Iterable] = None,
         use_pallas: bool = True,
         calib_percentile: Optional[float] = None,
+        holdout_batch=None,
     ):
         m = config["model"]
         if m.get("name") != "VisionTransformerSegmentation":
@@ -111,6 +112,11 @@ class Int8ViTEngine:
         self.calib_percentile = calib_percentile
         self.calib_batch = None
         self.calib_fp_probs = None
+        # held-out batch for int8_self_check (VERDICT r4 item 7): its fp
+        # probs are captured during calibration with the same compiled
+        # fp forward
+        self.holdout_batch = None if holdout_batch is None else jnp.asarray(holdout_batch)
+        self.holdout_fp_probs = None
         self.img_dim = m.get("img_dim", 224)
         self.patch_dim = m.get("patch_dim", 16)
         self.num_heads = m.get("num_heads", 12)
@@ -338,6 +344,10 @@ class Int8ViTEngine:
                 first = False
             for k, v in r.items():
                 acc[k] = max(acc.get(k, 0.0), float(v))
+        if self.holdout_batch is not None:
+            # same jitted fp forward, same shape -> no extra compile
+            logits, _ = fn(self.holdout_batch)
+            self.holdout_fp_probs = jax.nn.sigmoid(logits.astype(jnp.float32))
         return {k: max(v, 1e-6) / 127.0 for k, v in acc.items()}
 
     def __call__(self, x):

@@ -38,8 +38,21 @@ def _bce(p: jnp.ndarray, t: jnp.ndarray, sample_mask=None) -> jnp.ndarray:
     batches, train/trainer.py)."""
     p = p.astype(jnp.float32)
     t = t.astype(jnp.float32)
-    log_p = jnp.clip(jnp.log(p), _EPS_LOG)
-    log_1p = jnp.clip(jnp.log1p(-p), _EPS_LOG)
+    # Endpoint-safe logs (double-where): at p == 0.0 / 1.0 exactly,
+    # clip(log(p)) has the torch-clamped FORWARD value (-100) but a
+    # 0 * (-inf) = NaN GRADIENT — one fully-confident pixel then NaNs the
+    # whole gradient while the loss stays finite, permanently corrupting
+    # params past the trainer's loss-finiteness skip guard (observed at
+    # epoch 13 of the round-5 soak).  torch.nn.BCELoss clamps its
+    # backward too (grad <-> (p-t)/max(p(1-p), eps)); matching robustness
+    # here means zeroing the gradient at the exact endpoints.  Forward
+    # values are bit-identical: the substituted branch only applies where
+    # the clip already returned -100.
+    at0 = p <= 0.0
+    at1 = p >= 1.0
+    log_p = jnp.where(at0, _EPS_LOG, jnp.clip(jnp.log(jnp.where(at0, 0.5, p)), _EPS_LOG))
+    log_1p = jnp.where(at1, _EPS_LOG,
+                       jnp.clip(jnp.log1p(-jnp.where(at1, 0.5, p)), _EPS_LOG))
     terms = t * log_p + (1.0 - t) * log_1p
     if sample_mask is None:
         return -jnp.mean(terms)

@@ -31,6 +31,7 @@ from typing import Any, Mapping, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 from flax import struct
 
 from dfc_sa_unet_tpu.data.loader import (
@@ -433,13 +434,26 @@ class Trainer:
             (loss, (probs, new_stats)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params, state.batch_stats, x, t, rng)
-        finite = jnp.isfinite(loss)
         # NaN guard (reference utils/trainer.py:134-139): skip the update.
+        # Gate on GRADIENT finiteness too, not just the loss — a batch can
+        # produce a finite loss with a NaN/Inf gradient (e.g. a 0*inf in a
+        # backward), and one such applied update corrupts params for the
+        # rest of the run (observed in the round-5 soak before the _bce
+        # endpoint fix; clip_by_global_norm passes NaN through).  The
+        # global norm is one extra reduction per leaf — noise next to the
+        # conv VJPs.
+        finite = jnp.isfinite(loss) & jnp.isfinite(optax.global_norm(grads))
         grads = jax.tree.map(lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
         updates, new_opt_state = self.tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree.map(lambda p, u: p + jnp.where(finite, u, 0.0), state.params, updates)
         new_opt_state = jax.tree.map(
             lambda n, o: jnp.where(finite, n, o), new_opt_state, state.opt_state
+        )
+        # BN running stats must also skip: a non-finite batch's activations
+        # would otherwise poison mean/var (used by every later eval) even
+        # though the param update was zeroed.
+        new_stats = jax.tree.map(
+            lambda n, o: jnp.where(finite, n, o), new_stats, state.batch_stats
         )
         iou, dice = hard_dice_iou(probs, t)
         new_state = state.replace(

@@ -168,6 +168,9 @@ def main(args):
         if args.int8:
             from dfc_sa_unet_tpu.data.loader import normalize_on_device
 
+            if getattr(args, "int8_maxabs", False):
+                args.int8_percentile = None
+
             # calibrate activation scales on the first input images at the
             # model's working resolution (scales are per-tensor scalars, so
             # any spatial size works; tiles and full frames share them).
@@ -191,6 +194,22 @@ def main(args):
             xs = normalize_on_device(
                 jnp.asarray(np.stack(calib)), dtype or jnp.float32
             )
+            # held-out batch for the self-check whenever more images exist
+            # than the calibration slice: the static scales are gated on
+            # data they were NOT fit to (VERDICT r4 item 7).  Cycled to the
+            # calibration batch size so the fp forward compiles only once.
+            holdout = None
+            if len(image_files) > 8:
+                him = []
+                for path in image_files[8:16]:
+                    im, _ = load_image(path, target_size=(side, side))
+                    if im is not None:
+                        him.append(im)
+                if him:
+                    him = (him * ((len(calib) + len(him) - 1) // len(him)))[:len(calib)]
+                    holdout = normalize_on_device(
+                        jnp.asarray(np.stack(him)), dtype or jnp.float32
+                    )
             if is_vit:
                 from dfc_sa_unet_tpu.infer.quant_vit import Int8ViTEngine
 
@@ -198,7 +217,8 @@ def main(args):
                                        dtype=dtype or jnp.float32,
                                        calib_batches=[xs],
                                        use_pallas=use_pallas,
-                                       calib_percentile=args.int8_percentile)
+                                       calib_percentile=args.int8_percentile,
+                                       holdout_batch=holdout)
                 print(f"Using the int8 transformer serving engine "
                       f"(all four linears x {engine.num_layers} blocks; "
                       f"calibrated on {len(calib)} images).")
@@ -209,7 +229,8 @@ def main(args):
                                              dtype=dtype or jnp.float32,
                                              calib_batches=[xs],
                                              use_pallas=use_pallas,
-                                             calib_percentile=args.int8_percentile)
+                                             calib_percentile=args.int8_percentile,
+                                             holdout_batch=holdout)
                 print(f"Using the int8 TransUNet serving engine "
                       f"(all four encoder linears x {engine.num_layers} "
                       f"blocks; calibrated on {len(calib)} images).")
@@ -219,7 +240,8 @@ def main(args):
                 engine = Int8DFCEngine(config, variables,
                                        dtype=dtype or jnp.float32,
                                        calib_batches=[xs],
-                                       calib_percentile=args.int8_percentile)
+                                       calib_percentile=args.int8_percentile,
+                                       holdout_batch=holdout)
                 print(f"Using the int8 quantized serving engine "
                       f"(levels: {sorted(engine.int8_levels)}; "
                       f"calibrated on {len(calib)} images).")
@@ -499,10 +521,15 @@ if __name__ == "__main__":
                              "s8 MXU matmuls/convs where measured faster on v5e, "
                              "end-metric |Dice delta| <= 1e-3 (calibrates on the "
                              "first input images)")
-    parser.add_argument("--int8_percentile", type=float, default=None,
+    parser.add_argument("--int8_percentile", type=float, default=99.9,
                         help="with --int8: calibrate activation scales from this "
-                             "percentile of |t| (e.g. 99.9) instead of max-abs — "
-                             "robust to an outlier calibration image")
+                             "percentile of |t| instead of max-abs — robust to an "
+                             "outlier calibration image.  DEFAULT 99.9 since r5 "
+                             "(identical compiled graph/speed, only the scale "
+                             "constants differ; accuracy gates in tests/test_quant*) "
+                             "— use --int8_maxabs for the old max-abs behavior")
+    parser.add_argument("--int8_maxabs", action="store_true",
+                        help="with --int8: max-abs calibration (pre-r5 default)")
     parser.add_argument("--no_int8_check", action="store_true",
                         help="with --int8: skip the post-build engine-vs-fp "
                              "self-check on the calibration batch (saves one "

@@ -1,0 +1,302 @@
+#!/usr/bin/env python
+"""On-chip golden parity for the COMPILED fast paths (VERDICT r4 item 1).
+
+Every serving headline rides the Mosaic-compiled Pallas kernels and/or
+the int8 engines, but until round 5 all parity gates for those paths ran
+on CPU (goldens via the conftest backend, Pallas via interpret mode).
+This script runs the same comparisons on whatever backend is live —
+on the real TPU it exercises the actual Mosaic compilation — and emits
+one JSON artifact (PARITY_TPU.json) with per-row metrics and verdicts.
+
+Sections
+  goldens  the 13 committed torch-reference fixtures (tests/goldens/*.npz,
+           reference math anchor models/unet_dfc_sa_res.py:5-39), each
+           run in f32 (bit-parity mode: allclose at the CPU-test
+           tolerances) and bf16 (soft-Dice gap vs the golden probs —
+           the fixtures carry random-init weights whose probs cluster
+           at 0.5, so thresholded Dice would measure coin flips;
+           max|dprob| and flip rate are recorded for the record).
+  fused    lax vs fused-Pallas A/B at serving shapes/dtype (bf16):
+           ViT-seg + TransUNet packed MHA at 224, the flagship pooled
+           attention at 224, and the full-res ablation at 64 (N=4096 —
+           the largest VMEM-resident size; at 224 the energy tensor is
+           10 GB/sample, unrunnable anywhere).  Same weights, same
+           input; only the kernel differs.
+  int8     the three int8 engines vs their fp serving counterparts,
+           calibrated on one batch and COMPARED ON A HELD-OUT batch
+           (the calibration batch is the one least likely to expose a
+           bad static scale).  Gate: the engines' own 5e-3 flip-rate
+           gate + soft-Dice gap <= 1e-3 (BASELINE.json north star).
+
+--ckpt DIR loads trained flagship weights (e.g. the soak run's
+best_model) for the fused-DFC and int8-DFC rows, turning their Dice
+gates from random-field agreement into real-mask agreement; --input DIR
+uses real images (original/ subdir) instead of synthetic noise.
+
+CPU smoke: `--sections goldens --limit 2` runs in ~1 min under
+JAX_PLATFORMS=cpu (tests/test_parity_script.py pins the contract).
+"""
+
+import argparse
+import glob
+import importlib.util
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+# golden configs live in the test module — load it by path (tests/ is
+# not a package) so the model/fixture mapping cannot drift
+_spec = importlib.util.spec_from_file_location(
+    "golden_defs", os.path.join(REPO, "tests", "test_goldens.py"))
+_golden_defs = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_golden_defs)
+CONFIGS = _golden_defs.CONFIGS
+_unflatten = _golden_defs._unflatten
+GOLDEN_DIR = _golden_defs.GOLDEN_DIR
+ALL_GOLDENS = _golden_defs.ALL_GOLDENS
+
+
+def _build(name, dtype=None, use_pallas=False):
+    """test_goldens._build with dtype/use_pallas threading."""
+    from dfc_sa_unet_tpu.models.factory import create_model
+
+    if name == "transunet_small":
+        from dfc_sa_unet_tpu.models.transunet import TransUNet
+
+        return TransUNet(
+            config={
+                "patches_grid": (4, 4), "resnet_num_layers": (1, 1, 1),
+                "resnet_width_factor": 1, "hidden_size": 64, "mlp_dim": 128,
+                "num_heads": 2, "num_layers": 1, "attention_dropout_rate": 0.0,
+                "dropout_rate": 0.0, "decoder_channels": (32, 16, 8, 8),
+                "skip_channels": [512, 256, 64, 16], "n_classes": 1, "n_skip": 3,
+            },
+            img_size=64, num_classes=1, dtype=dtype, use_pallas=use_pallas,
+        )
+    return create_model({"model": CONFIGS[name]}, dtype=dtype, use_pallas=use_pallas)
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-np.asarray(x, np.float64)))
+
+
+def _metrics(probs_ref, probs_test):
+    """Parity metrics mirroring the BASELINE.json protocol: Dice is
+    scored against a ground-truth mask, so the gate is |Dice(test, m) -
+    Dice(ref, m)| <= 1e-3 with m = the reference side's own mask (the
+    strictest available stand-in; with a trained checkpoint + real
+    images it IS a real segmentation mask)."""
+    b, a = np.asarray(probs_ref, np.float64), np.asarray(probs_test, np.float64)
+    mb = b > 0.5
+    smooth = 1.0  # reference utils/metrics.py:6-24
+    sd = lambda p: (2.0 * float((p * mb).sum()) + smooth) / (float(p.sum() + mb.sum()) + smooth)
+    ma = a > 0.5
+    denom = ma.sum() + mb.sum()
+    hard_dice = (2.0 * float((ma & mb).sum()) / denom) if denom else 1.0
+    return {
+        "max_abs_dprob": round(float(np.abs(a - b).max()), 6),
+        "mean_abs_dprob": round(float(np.abs(a - b).mean()), 8),
+        "flip_rate": round(float((ma != mb).mean()), 6),
+        "dice_gap": round(abs(sd(a) - sd(b)), 8),
+        "hard_dice": round(hard_dice, 6),
+    }
+
+
+def _row(section, name, passed, extra):
+    rec = {"section": section, "name": name, "pass": bool(passed)}
+    rec.update(extra)
+    print(("PASS " if passed else "FAIL ") + f"[{section}] {name}: "
+          + json.dumps(extra), flush=True)
+    return rec
+
+
+# ------------------------------------------------------------- sections
+
+def run_goldens(rows, limit=None, bf16_dprob_tol=0.05):
+    names = ALL_GOLDENS[:limit] if limit else ALL_GOLDENS
+    for name in names:
+        g = np.load(os.path.join(GOLDEN_DIR, f"{name}.npz"))
+        flat = {k: g[k] for k in g.files}
+        variables = _unflatten(flat)
+        x = jnp.asarray(np.transpose(flat["__input__"], (0, 2, 3, 1)), jnp.float32)
+        want = flat["__output__"]  # NCHW logits from the torch reference
+
+        t0 = time.monotonic()
+        got = _build(name).apply(variables, x, train=False)
+        got = np.transpose(np.asarray(got), (0, 3, 1, 2))
+        ok_f32 = np.allclose(got, want, atol=5e-4, rtol=1e-3)
+        m = _metrics(_sigmoid(got), _sigmoid(want))
+        m["max_abs_dlogit"] = round(float(np.abs(got - want).max()), 6)
+        m["seconds"] = round(time.monotonic() - t0, 1)
+        rows.append(_row("goldens_f32", name, ok_f32, m))
+
+        t0 = time.monotonic()
+        got16 = _build(name, dtype=jnp.bfloat16).apply(variables, x, train=False)
+        got16 = np.transpose(np.asarray(got16.astype(jnp.float32)), (0, 3, 1, 2))
+        m = _metrics(_sigmoid(got16), _sigmoid(want))
+        m["seconds"] = round(time.monotonic() - t0, 1)
+        ok = m["dice_gap"] <= 1e-3 and m["max_abs_dprob"] <= bf16_dprob_tol
+        rows.append(_row("goldens_bf16", name, ok, m))
+
+
+def _full_cfg(name, size, small=False):
+    cfg = {"model": {"name": name, "in_channels": 3, "out_channels": 1,
+                     "features": [64, 128, 256, 512], "pool_size": 8},
+           "dataset": {"img_size": [size, size]}}
+    if small:
+        cfg["model"]["features"] = [8, 16, 24, 32]
+        cfg["model"]["pool_size"] = 4
+        if name == "VisionTransformerSegmentation":
+            cfg["model"].update(img_dim=size, patch_dim=8, embed_dim=32,
+                                num_layers=2, num_heads=2, mlp_dim=64, dropout=0.0)
+    return cfg
+
+
+def _input_batch(size, batch, input_dir, dtype):
+    from dfc_sa_unet_tpu.data.loader import normalize_on_device
+
+    if input_dir:
+        from PIL import Image
+
+        files = sorted(glob.glob(os.path.join(input_dir, "original", "*.png")))[:batch]
+        imgs = [np.asarray(Image.open(f).convert("RGB").resize((size, size)))
+                for f in files]
+        if imgs:
+            return normalize_on_device(jnp.asarray(np.stack(imgs)), dtype)
+    x_u8 = np.random.default_rng(0).integers(0, 256, size=(batch, size, size, 3),
+                                             dtype=np.uint8)
+    return normalize_on_device(jnp.asarray(x_u8), dtype)
+
+
+def _variables_for(model, name, size, ckpt, small):
+    if ckpt and name == "DFC-SA-Res-Block":
+        from dfc_sa_unet_tpu.models.factory import load_variables
+
+        return load_variables(model, ckpt, img_size=[size, size]), "trained"
+    x0 = jnp.zeros((1, size, size, 3), jnp.float32)
+    return model.init(jax.random.key(0), x0, train=False), "seed0"
+
+
+def run_fused(rows, batch, ckpt, input_dir, small):
+    from dfc_sa_unet_tpu.models.factory import create_model
+
+    # (display name, factory name, size, weights-eligible-for-ckpt)
+    cases = [
+        ("vit_seg_mha_224", "VisionTransformerSegmentation", 32 if small else 224),
+        ("transunet_mha_224", "TransformerUNet", 64 if small else 224),
+        ("dfc_pooled_attn_224", "DFC-SA-Res-Block", 48 if small else 224),
+        ("full_res_attn_64", "UNet_FullResAttention", 32 if small else 64),
+    ]
+    for disp, name, size in cases:
+        cfg = _full_cfg(name, size, small=small)
+        dtype = jnp.bfloat16
+        m_lax = create_model(cfg, dtype=dtype, use_pallas=False)
+        m_pl = create_model(cfg, dtype=dtype, use_pallas=True)
+        variables, weights = _variables_for(m_lax, name, size, ckpt, small)
+        x = _input_batch(size, batch, input_dir if name == "DFC-SA-Res-Block" else None,
+                         dtype)
+        t0 = time.monotonic()
+        y_lax = np.asarray(jax.jit(
+            lambda v, x: m_lax.apply(v, x, train=False))(variables, x).astype(jnp.float32))
+        y_pl = np.asarray(jax.jit(
+            lambda v, x: m_pl.apply(v, x, train=False))(variables, x).astype(jnp.float32))
+        m = _metrics(_sigmoid(y_lax), _sigmoid(y_pl))
+        m.update(weights=weights, size=size, seconds=round(time.monotonic() - t0, 1))
+        ok = m["dice_gap"] <= 1e-3 and m["flip_rate"] <= 5e-3
+        rows.append(_row("fused_vs_lax_bf16", disp, ok, m))
+
+
+def run_int8(rows, batch, ckpt, input_dir, small):
+    from dfc_sa_unet_tpu.models.factory import create_model
+
+    size = 64 if small else 224
+    dtype = jnp.bfloat16
+    cases = [("DFC-SA-Res-Block", "dfc"), ("VisionTransformerSegmentation", "vit"),
+             ("TransformerUNet", "transunet")]
+    for name, tag in cases:
+        cfg = _full_cfg(name, size, small=small)
+        model = create_model(cfg, dtype=dtype,
+                             use_pallas=name != "DFC-SA-Res-Block")
+        variables, weights = _variables_for(model, name, size, ckpt, small)
+        x_calib = _input_batch(size, batch, input_dir if tag == "dfc" else None, dtype)
+        # held-out batch: different images (or a different synthetic seed)
+        rng = np.random.default_rng(7)
+        x_held = jnp.asarray(
+            np.asarray(x_calib, np.float32)[::-1]
+            + rng.normal(0, 0.05, size=np.asarray(x_calib).shape).astype(np.float32)
+        ).astype(dtype)
+
+        if tag == "vit":
+            from dfc_sa_unet_tpu.infer.quant_vit import Int8ViTEngine as Eng
+        elif tag == "transunet":
+            from dfc_sa_unet_tpu.infer.quant_transunet import Int8TransUNetEngine as Eng
+        else:
+            from dfc_sa_unet_tpu.infer.quant import Int8DFCEngine as Eng
+        t0 = time.monotonic()
+        eng = Eng(cfg, variables, dtype=dtype, calib_batches=[x_calib],
+                  calib_percentile=99.9)
+        y_q = np.asarray(eng._forward(x_held).astype(jnp.float32))
+        y_fp = np.asarray(jax.jit(
+            lambda v, x: model.apply(v, x, train=False))(variables, x_held)
+            .astype(jnp.float32))
+        m = _metrics(_sigmoid(y_fp), _sigmoid(y_q))
+        m.update(weights=weights, size=size, held_out=True,
+                 seconds=round(time.monotonic() - t0, 1))
+        ok = m["dice_gap"] <= 1e-3 and m["flip_rate"] <= 5e-3
+        rows.append(_row("int8_vs_fp_bf16", f"{tag}_int8_engine", ok, m))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default=os.path.join(REPO, "PARITY_TPU.json"))
+    p.add_argument("--sections", default="goldens,fused,int8")
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--limit", type=int, default=None,
+                   help="first N goldens only (CPU smoke)")
+    p.add_argument("--small", action="store_true",
+                   help="tiny configs/sizes for the fused/int8 sections (CPU smoke)")
+    p.add_argument("--ckpt", default=None,
+                   help="trained flagship checkpoint (orbax dir or .pth) for "
+                        "the DFC fused/int8 rows")
+    p.add_argument("--input", default=None,
+                   help="directory with original/ images for the DFC rows")
+    args = p.parse_args()
+
+    rows = []
+    sections = args.sections.split(",")
+    t0 = time.monotonic()
+    if "goldens" in sections:
+        run_goldens(rows, limit=args.limit)
+    if "fused" in sections:
+        run_fused(rows, args.batch, args.ckpt, args.input, args.small)
+    if "int8" in sections:
+        run_int8(rows, args.batch, args.ckpt, args.input, args.small)
+
+    artifact = {
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "sections": sections,
+        "n_rows": len(rows),
+        "n_fail": sum(not r["pass"] for r in rows),
+        "all_pass": all(r["pass"] for r in rows),
+        "seconds": round(time.monotonic() - t0, 1),
+        "rows": rows,
+    }
+    with open(args.out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"wrote {args.out}: {artifact['n_rows']} rows, "
+          f"{artifact['n_fail']} failures, backend={artifact['backend']}")
+    sys.exit(0 if artifact["all_pass"] else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -299,6 +299,38 @@ def test_self_check_multichannel_uses_argmax():
     assert chk["flip_rate"] > 0.5
 
 
+def test_self_check_holdout_batch(trained, capsys):
+    """VERDICT r4 item 7: with a holdout_batch the self-check also gates
+    on data the scales were NOT calibrated on (captured with the same
+    compiled fp forward), and the gate applies to the worst of the two."""
+    from dfc_sa_unet_tpu.infer.quant import int8_self_check
+
+    cfg, variables, xs = trained
+    eng = Int8DFCEngine(cfg, variables, dtype=jnp.float32,
+                        calib_batches=[xs[:8]], holdout_batch=xs[8:16])
+    assert eng.holdout_fp_probs is not None
+    chk = int8_self_check(eng, strict=True)
+    assert {"flip_rate", "mean_abs_dprob",
+            "holdout_flip_rate", "holdout_mean_abs_dprob"} <= set(chk)
+    assert chk["holdout_flip_rate"] <= 5e-3
+
+    # a holdout-only breach trips the gate even when the calibration
+    # batch agrees: fake a perfect calib reference + corrupted holdout ref
+    eng.calib_fp_probs = jax.nn.sigmoid(
+        eng._forward(eng.calib_batch).astype(jnp.float32))
+    eng.holdout_fp_probs = 1.0 - eng.holdout_fp_probs
+    chk = int8_self_check(eng)  # warns
+    assert chk["holdout_flip_rate"] > 5e-3 >= chk["flip_rate"]
+    assert "held-out" in capsys.readouterr().out
+    with pytest.raises(RuntimeError, match="held-out"):
+        eng2 = Int8DFCEngine(cfg, variables, dtype=jnp.float32,
+                             calib_batches=[xs[:8]], holdout_batch=xs[8:16])
+        eng2.calib_fp_probs = jax.nn.sigmoid(
+            eng2._forward(eng2.calib_batch).astype(jnp.float32))
+        eng2.holdout_fp_probs = 1.0 - eng2.holdout_fp_probs
+        int8_self_check(eng2, strict=True)
+
+
 def test_self_check_none_without_calibration(setup):
     """Engines built from preset scales have no calibration reference —
     the self-check reports None rather than guessing."""

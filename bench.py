@@ -173,12 +173,15 @@ def _metric_name(model, dtype, pallas=False, engine=False, int8=False,
 
 
 def _record(name, ips, batch, model=None, samples=None):
+    # sub-1 img/s happens on CPU dry-runs — keep the value nonzero
+    value = round(ips, 1) if ips >= 1 else round(ips, 4)
     rec = {
         "metric": name,
-        # sub-1 img/s happens on CPU dry-runs — keep the value nonzero
-        "value": round(ips, 1) if ips >= 1 else round(ips, 4),
+        "value": value,
+        # ratios derive from the ROUNDED value so vs_sol == value/ceiling
+        # exactly as printed (merge recomputation relies on this)
+        "vs_baseline": round(value / BASELINE_IMG_PER_SEC, 4),
         "unit": "images/sec",
-        "vs_baseline": round(ips / BASELINE_IMG_PER_SEC, 4),
         "batch": batch,
         "device": str(jax.devices()[0]),
     }
@@ -186,7 +189,7 @@ def _record(name, ips, batch, model=None, samples=None):
     # pool-sweep variants have a different (uncensused) structural
     # ceiling than the p8 flagship — no vs_sol for them
     if ceiling and "(p" not in name:
-        rec["vs_sol"] = round(ips / ceiling, 4)
+        rec["vs_sol"] = round(value / ceiling, 4)
     if samples:
         s = sorted(samples)
         rec["samples"] = [round(v, 1) for v in samples]

@@ -251,6 +251,16 @@ def unet_forward(
                   activation bytes; rematerializing just them buys most of
                   the memory at a fraction of the recompute — the 'all'
                   mode pays a full extra forward)
+      'deep'    — census-driven complement (round-4 insight: bytes in
+                  compute-bound ops are free, standalone elementwise
+                  passes are not): STORE the bandwidth-bound shallow
+                  levels and recompute only the compute-bound deep ones
+                  (down3/down4/bottleneck/up_conv3/up_conv4), whose
+                  recompute adds overlapped MXU flops but little HBM
+                  traffic.  Saves far less memory than 'l12' — viable
+                  only where the shallow activations fit
+      'l12+deep'— 'l12' memory relief plus the near-free deep recompute
+                  (equals 'all' minus nothing — alias kept out; use 'all')
     """
     f = list(features)
 
@@ -263,6 +273,8 @@ def unet_forward(
                        "up_conv1", "up_conv2", "up_conv3", "up_conv4"}
     elif remat == "l12":
         remat_names = {"down1", "down2", "up_conv1", "up_conv2"}
+    elif remat == "deep":
+        remat_names = {"down3", "down4", "bottleneck", "up_conv3", "up_conv4"}
     else:
         remat_names = set()
 

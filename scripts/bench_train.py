@@ -85,7 +85,7 @@ def build_step(model, tx, loss_type, dtype, accum=1, accum_exact=False):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batches", type=str, default="128,256")
-    p.add_argument("--remat", type=str, default="l12", choices=["none", "l12", "all"])
+    p.add_argument("--remat", type=str, default="l12", choices=["none", "l12", "all", "deep"])
     p.add_argument("--fp32", action="store_true")
     p.add_argument("--k", type=int, default=4)
     p.add_argument("--repeats", type=int, default=3)

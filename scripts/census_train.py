@@ -27,7 +27,7 @@ TFLOPS = 110.0
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=128)
-    p.add_argument("--remat", default="l12", choices=["none", "l12", "all"])
+    p.add_argument("--remat", default="l12", choices=["none", "l12", "all", "deep"])
     p.add_argument("--fp32", action="store_true")
     p.add_argument("--size", type=int, default=224)
     p.add_argument("--out", default="/tmp/hlo_train.txt")

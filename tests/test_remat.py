@@ -32,7 +32,7 @@ def _grads(remat):
 
 def test_remat_modes_match():
     base = _grads(False)
-    for mode in ("l12", "all"):
+    for mode in ("l12", "all", "deep"):
         got = _grads(mode)
         for a, b in zip(jax.tree.leaves(base), jax.tree.leaves(got)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-6)

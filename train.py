@@ -44,7 +44,7 @@ def main():
     parser.add_argument("--no_bf16", action="store_false", dest="bf16",
                         help="override a config-enabled training.bf16")
     parser.add_argument(
-        "--remat", nargs="?", const="all", default=None, choices=["all", "l12"],
+        "--remat", nargs="?", const="all", default=None, choices=["all", "l12", "deep"],
         help="rematerialize blocks in the backward pass for larger batches: "
              "'all' (every block) or 'l12' (only the four largest-activation "
              "blocks — most of the memory saving at a fraction of the recompute). "

@@ -253,9 +253,11 @@ def main(args):
 
                 chk = int8_self_check(engine, strict=args.strict)
                 if chk is not None:
+                    extra = (f"; held-out flip rate {chk['holdout_flip_rate']:.3%}"
+                             if "holdout_flip_rate" in chk else "")
                     print(f"int8 self-check: mask flip rate "
                           f"{chk['flip_rate']:.3%}, mean |dprob| "
-                          f"{chk['mean_abs_dprob']:.5f}")
+                          f"{chk['mean_abs_dprob']:.5f}{extra}")
         else:
             from dfc_sa_unet_tpu.infer.engine import DFCEngine
 

@@ -110,6 +110,66 @@ def range_tap(ranges, key, t, percentile=None):
                    else jnp.percentile(a.reshape(-1), percentile))
 
 
+# Above this many bytes of baked-in f32 weight constants, the tunneled
+# backend's remote-compile upload is not attempted for the calibration
+# forward: a ViT-B-sized fp graph (~368 MB of constants) is rejected
+# with HTTP 413 — or worse, the upload stalls indefinitely — while the
+# 29M-param (116 MB) DFC engine compiles fine.
+_CALIB_TUNNEL_CONST_LIMIT = 200 * 1024 * 1024
+
+
+def _engine_weight_bytes(engine) -> int:
+    """Rough total bytes of the arrays an engine closes over."""
+    total = 0
+    for leaf in jax.tree.leaves(dict(vars(engine))):
+        nbytes = getattr(leaf, "nbytes", None)
+        if nbytes is not None:
+            total += int(nbytes)
+    return total
+
+
+def calibration_forward(forward_ranges, weight_bytes: int = 0):
+    """jit the engine's fp calibration forward with a host-CPU fallback.
+
+    The fp forward closes over every f32 weight as an HLO constant; on
+    the tunneled TPU backend the remote-compile upload is size-capped
+    (HTTP 413, or an indefinite upload stall, observed in the round-5
+    on-chip parity runs).  Range statistics (max/percentile of |t| in
+    f32) are backend-independent to ~1e-6 — irrelevant next to /127
+    quantization — so oversized engines calibrate on the host CPU
+    backend proactively (``weight_bytes`` heuristic) and say so; the
+    413 error path also falls back for safety.  Serving still runs on
+    the TPU: the int8 graph carries s8 weights (4x smaller) plus scale
+    scalars.
+    """
+    tunneled = any("TPU" in str(d) or "axon" in str(d).lower() for d in jax.devices())
+    go_cpu = tunneled and weight_bytes > _CALIB_TUNNEL_CONST_LIMIT
+    if go_cpu:
+        print(f"int8 calibration: ~{weight_bytes / 2**20:.0f} MB of weight "
+              "constants exceeds the tunneled backend's upload budget; "
+              "calibrating ranges on the host CPU backend "
+              "(f32 statistics are backend-independent)")
+    state = {"fn": None if go_cpu else jax.jit(forward_ranges), "fn_cpu": None}
+
+    def call(x):
+        if state["fn_cpu"] is None and state["fn"] is not None:
+            try:
+                return state["fn"](x)
+            except jax.errors.JaxRuntimeError as e:
+                if "413" not in str(e) and "length limit" not in str(e):
+                    raise
+                print("int8 calibration: the tunneled backend rejected the "
+                      "fp graph's weight-constant upload (HTTP 413); "
+                      "calibrating ranges on the host CPU backend instead")
+        if state["fn_cpu"] is None:
+            state["fn_cpu"] = jax.jit(forward_ranges)
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            return state["fn_cpu"](jax.device_put(jnp.asarray(x), cpu))
+
+    return call
+
+
 def int8_self_check(engine, gate_flip: float = 5e-3, strict: bool = False,
                     label: str = "int8"):
     """Serving-time sanity check for a calibrated int8 engine.
@@ -143,13 +203,18 @@ def int8_self_check(engine, gate_flip: float = 5e-3, strict: bool = False,
         return None
 
     def compare(batch, fp):
-        q = jax.nn.sigmoid(engine._forward(batch).astype(jnp.float32))
+        import numpy as np
+
+        # numpy math: `fp` may be committed to the host CPU backend when
+        # calibration fell back there (calibration_forward), while the
+        # engine forward runs on the TPU — mixed-device jnp ops would raise
+        q = np.asarray(jax.nn.sigmoid(engine._forward(batch).astype(jnp.float32)))
+        fp = np.asarray(fp)
         if q.ndim >= 1 and q.shape[-1] > 1:
-            flip = float(jnp.mean((jnp.argmax(q, axis=-1)
-                                   != jnp.argmax(fp, axis=-1)).astype(jnp.float32)))
+            flip = float((np.argmax(q, axis=-1) != np.argmax(fp, axis=-1)).mean())
         else:
-            flip = float(jnp.mean(((q > 0.5) != (fp > 0.5)).astype(jnp.float32)))
-        return flip, float(jnp.mean(jnp.abs(q - fp)))
+            flip = float(((q > 0.5) != (fp > 0.5)).mean())
+        return flip, float(np.abs(q - fp).mean())
 
     flip, mad = compare(engine.calib_batch, engine.calib_fp_probs)
     metrics = {"flip_rate": flip, "mean_abs_dprob": mad}
@@ -285,7 +350,7 @@ class Int8DFCEngine(DFCEngine):
         """Range calibration over normalized NHWC batches -> scales
         (max-abs, or the ctor's ``calib_percentile`` of |t|).  Also
         captures the first batch + its fp probs for int8_self_check."""
-        fwd = jax.jit(self._forward_ranges)
+        fwd = calibration_forward(self._forward_ranges, _engine_weight_bytes(self))
         maxima: dict = {}
         n = 0
         for xb in calib_batches:

@@ -302,21 +302,33 @@ class Int8TransUNetEngine:
         NHWC, same contract as __call__): max-abs, or the ctor's
         ``calib_percentile`` of |t|.  Captures the first batch + its fp
         probs for quant.int8_self_check."""
-        fn = jax.jit(self._forward_ranges)
-        acc = {}
-        first = True
-        for xb in calib_batches:
-            logits, r = fn(jnp.asarray(xb))
-            if first:
-                self.calib_batch = jnp.asarray(xb)
-                self.calib_fp_probs = jax.nn.sigmoid(logits.astype(jnp.float32))
-                first = False
-            for k, v in r.items():
-                acc[k] = max(acc.get(k, 0.0), float(v))
-        if self.holdout_batch is not None:
-            # same jitted fp forward, same shape -> no extra compile
-            logits, _ = fn(self.holdout_batch)
-            self.holdout_fp_probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+        from dfc_sa_unet_tpu.infer.quant import (
+            _engine_weight_bytes, calibration_forward)
+        # Calibrate through the LAX attention path: the fused Pallas MHA
+        # cannot trace for calibration_forward's host-CPU fallback, and
+        # its fp outputs match lax to ~1e-4 (PARITY_TPU fused rows) —
+        # noise next to /127 scale quantization.  Serving keeps pallas.
+        saved_pallas = self.use_pallas
+        self.use_pallas = False
+        try:
+            fn = calibration_forward(self._forward_ranges,
+                                     _engine_weight_bytes(self))
+            acc = {}
+            first = True
+            for xb in calib_batches:
+                logits, r = fn(jnp.asarray(xb))
+                if first:
+                    self.calib_batch = jnp.asarray(xb)
+                    self.calib_fp_probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+                    first = False
+                for k, v in r.items():
+                    acc[k] = max(acc.get(k, 0.0), float(v))
+            if self.holdout_batch is not None:
+                # same jitted fp forward, same shape -> no extra compile
+                logits, _ = fn(self.holdout_batch)
+                self.holdout_fp_probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+        finally:
+            self.use_pallas = saved_pallas
         return {k: max(v, 1e-6) / 127.0 for k, v in acc.items()}
 
     def __call__(self, x):
